@@ -1,0 +1,351 @@
+"""Subband entropy models over the wavelet pyramid (reference layer L5b).
+
+Four config-selectable models (reference ``LiftingBasedDWT_net.py:122-134``),
+all exposing the training-path contract::
+
+    model(xe, xo_list, training) ->
+        (info_xe, info_xo_list, xe_qnt, xo_list_qnt)
+
+where ``info_*`` are per-sample self-informations in bits (the reference's
+``-log2(pmf)``), and ``*_qnt`` are the noise/round-quantized subbands fed to
+the synthesis transform.
+
+- ``FactorizedEntropy``: one learned-CDF bottleneck per level + one for LL
+  (reference ``DWTFactorizedEntropyLayer``, ``LiftingBasedDWT_net.py:182-231``).
+- ``OnlyEZWT``: parent->child ("zerotree") conditional Gaussians, no spatial
+  AR => fully parallel decode (reference ``onlyEZWT``, ``:759-840``).
+- ``ZTSepSubbands``: zerotree + causal spatial context via masked convs —
+  the paper's main model (reference ``DWTConditioned2EntropyLayerZTsepSubbands``,
+  ``:233-556``).
+- ``ZTBlock``: 4-phase polyphase-coset conditioning => decode is 4 batched
+  steps per subband (reference ``DWTConditioned2EntropyLayerZTBlock``,
+  ``:558-757``).
+
+TPU notes: every context net evaluates over the whole subband in one fused
+conv pass (the reference's per-pixel ``compress_ar`` loop never exists on the
+training path here); parent context upsampling is a reshape-broadcast, not a
+gather.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.masked_conv import MaskedConv2d
+from ..ops.math_utils import quantize_dequantize, quantize_noise
+from . import gaussian
+from .bottleneck import EntropyBottleneck
+
+
+def upsample2(x):
+    """Nearest x2 upsample (reference ``repeat_interleave(2,2/3)``,
+    ``LiftingBasedDWT_net.py:348``) as reshape-broadcast."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def _split_sigma_mu(params):
+    """Interleaved (sigma, mu) channel pairs -> (sigma, mu)
+    (reference ``out[:, 0::2]``/``[:, 1::2]``, ``LiftingBasedDWT_net.py:332-333``)."""
+    return params[..., 0::2], params[..., 1::2]
+
+
+def _quantize_ctx(x, training: bool, rng):
+    """Context quantization: noise in training, plain rounding in eval
+    (reference ``quantize(x, "noise"/"dequantize")`` with no means)."""
+    return quantize_noise(x, rng) if training else quantize_dequantize(x)
+
+
+class _ConvStack(nn.Module):
+    """Conv -> LReLU -> ... -> Conv, SAME padding."""
+
+    features: Sequence[int]
+    kernels: Sequence[int]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (f, k) in enumerate(zip(self.features, self.kernels)):
+            x = nn.Conv(f, (k, k), padding="SAME",
+                        feature_group_count=self.groups)(x)
+            if i < len(self.features) - 1:
+                x = nn.leaky_relu(x)
+        return x
+
+
+class _MaskedPixelCNN(nn.Module):
+    """5-layer grouped masked-conv stack A,B,B,B,B -> (sigma, mu) pairs
+    (reference ``LiftingBasedDWT_net.py:298-317``)."""
+
+    in_ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        ic = self.in_ch
+        wide = ic * 81
+        feats = [wide, wide, wide // 3, wide // 9, 2 * ic]
+        for i, f in enumerate(feats):
+            mask = "A" if i == 0 else "B"
+            x = MaskedConv2d(f, (self.kernel, self.kernel), mask_type=mask,
+                             feature_group_count=ic)(x)
+            if i < len(feats) - 1:
+                x = nn.leaky_relu(x)
+        return x
+
+
+class FactorizedEntropy(nn.Module):
+    """Per-level factorized bottlenecks (DWTFactorizedEntropyLayer)."""
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg.clrch
+        self.eb_xo = [EntropyBottleneck(3 * c)
+                      for _ in range(self.cfg.dwtlevels)]
+        self.eb_xe = EntropyBottleneck(1 * c)
+
+    def __call__(self, xe, xo_list, training: bool = True):
+        info_xo, xo_qnt = [], []
+        for i in range(self.cfg.dwtlevels):
+            q, lik = self.eb_xo[i](xo_list[i], training)
+            xo_qnt.append(q)
+            info_xo.append(-jnp.log2(lik))
+        xe_qnt, lik_xe = self.eb_xe(xe, training)
+        return -jnp.log2(lik_xe), info_xo, xe_qnt, xo_qnt
+
+    def aux_loss(self):
+        return self.eb_xe.aux_loss() + sum(m.aux_loss() for m in self.eb_xo)
+
+
+class OnlyEZWT(nn.Module):
+    """Zerotree-only conditioning (onlyEZWT): LL + coarsest details are
+    factorized; finer details get (mu, sigma) from the upsampled parent."""
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg.clrch
+        L = self.cfg.dwtlevels
+        self.eb_xe = EntropyBottleneck(1 * c)
+        self.eb_xo = EntropyBottleneck(3 * c)
+        wide = 3 * c * 81
+        self.plc = [
+            _ConvStack(features=(wide, wide, 2 * 3 * c), kernels=(3, 3, 1))
+            for _ in range(L - 1)]
+
+    def __call__(self, xe, xo_list, training: bool = True):
+        L = self.cfg.dwtlevels
+        xe_qnt, lik_xe = self.eb_xe(xe, training)
+        info_xe = -jnp.log2(lik_xe)
+        info_xo: List = [None] * L
+        xo_qnt: List = [None] * L
+        q, lik = self.eb_xo(xo_list[L - 1], training)
+        xo_qnt[L - 1], info_xo[L - 1] = q, -jnp.log2(lik)
+        con = upsample2(q)
+        for i in range(L - 2, -1, -1):
+            sigma, mu = _split_sigma_mu(self.plc[i](con))
+            rng = self.make_rng("noise") if training else None
+            q, info = gaussian.self_information_bits(
+                xo_list[i], sigma, mu, training, rng)
+            xo_qnt[i], info_xo[i] = q, info
+            con = upsample2(q)
+        return info_xe, info_xo, xe_qnt, xo_qnt
+
+    def aux_loss(self):
+        return self.eb_xe.aux_loss() + self.eb_xo.aux_loss()
+
+
+class ZTSepSubbands(nn.Module):
+    """Zerotree + causal spatial context (the paper's main model).
+
+    Per finer level: parent-context CNN (plc) on the x2-upsampled quantized
+    parent details, 5x5 masked type-A grouped conv (csc) on the current
+    quantized details, fused by a grouped 1x1 stack (cgp) into interleaved
+    (sigma, mu). Coarsest details + LL use grouped masked-conv PixelCNNs.
+    """
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg.clrch
+        L = self.cfg.dwtlevels
+        so = 3 * c
+        wide = so * 81
+        self.plc = [
+            _ConvStack(features=(wide, wide), kernels=(3, 3))
+            for _ in range(L - 1)]
+        self.csc = [
+            MaskedConv2d(wide, (5, 5), mask_type="A", feature_group_count=so)
+            for _ in range(L - 1)]
+        fused = 2 * wide
+        self.cgp = [
+            _ConvStack(features=(fused, fused // 3, fused // 9, 2 * so),
+                       kernels=(1, 1, 1, 1), groups=so)
+            for _ in range(L - 1)]
+        self.pixelcnn_xo = _MaskedPixelCNN(in_ch=so, kernel=3)
+        self.pixelcnn_xe = _MaskedPixelCNN(in_ch=c, kernel=3)
+
+    def _fuse(self, plc_params, csc_params):
+        """Interleave per-subband 81-channel blocks: (plc_g, csc_g) pairs so
+        group g of the cgp stack sees only subband g's context
+        (reference ``LiftingBasedDWT_net.py:357-359``)."""
+        so = 3 * self.cfg.clrch
+        b, h, w, _ = plc_params.shape
+        p = plc_params.reshape(b, h, w, so, 81)
+        s = csc_params.reshape(b, h, w, so, 81)
+        return jnp.concatenate([p, s], axis=-1).reshape(b, h, w, so * 162)
+
+    def level_params(self, i: int, xo_qnt_i, con):
+        """(sigma, mu) for finer level i given quantized current + parent
+        context. Exposed for the coding path (teacher-forced encode)."""
+        csc_params = self.csc[i](xo_qnt_i)
+        plc_params = self.plc[i](con)
+        return _split_sigma_mu(self.cgp[i](self._fuse(plc_params, csc_params)))
+
+    def coarsest_params(self, xo_qnt):
+        return _split_sigma_mu(self.pixelcnn_xo(xo_qnt))
+
+    def xe_params(self, xe_qnt):
+        return _split_sigma_mu(self.pixelcnn_xe(xe_qnt))
+
+    def __call__(self, xe, xo_list, training: bool = True):
+        L = self.cfg.dwtlevels
+
+        def rng():
+            return self.make_rng("noise") if training else None
+
+        # LL: causal PixelCNN over its own quantized plane
+        xe_qnt = _quantize_ctx(xe, training, rng())
+        sigma, mu = self.xe_params(xe_qnt)
+        _, info_xe = gaussian.self_information_bits(
+            xe, sigma, mu, training, rng())
+
+        info_xo: List = [None] * L
+        xo_qnt: List = [None] * L
+        # coarsest details: own-plane PixelCNN
+        q = _quantize_ctx(xo_list[L - 1], training, rng())
+        sigma, mu = self.coarsest_params(q)
+        _, info = gaussian.self_information_bits(
+            xo_list[L - 1], sigma, mu, training, rng())
+        xo_qnt[L - 1], info_xo[L - 1] = q, info
+        con = upsample2(q)
+        # finer levels: parent + causal context
+        for i in range(L - 2, -1, -1):
+            q = _quantize_ctx(xo_list[i], training, rng())
+            sigma, mu = self.level_params(i, q, con)
+            _, info = gaussian.self_information_bits(
+                xo_list[i], sigma, mu, training, rng())
+            xo_qnt[i], info_xo[i] = q, info
+            con = upsample2(q)
+        return info_xe, info_xo, xe_qnt, xo_qnt
+
+    def aux_loss(self):
+        return jnp.zeros(())
+
+
+class _DepNet(nn.Module):
+    """Coset predictor: 3x3,3x3,1x1,1x1 convs (hid 32) -> 1 channel
+    (reference ``LiftingBasedDWT_net.py:618-680``)."""
+
+    hidden: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        for k, f in ((3, self.hidden), (3, self.hidden), (1, self.hidden),
+                     (1, self.hidden)):
+            x = nn.leaky_relu(nn.Conv(f, (k, k), padding="SAME")(x))
+        return nn.Conv(1, (1, 1))(x)
+
+
+def _interleave_cosets(ee, eo, oe, oo):
+    """Assemble full-res plane from its 4 polyphase cosets (reshape only)."""
+    b, h2, w2, c = ee.shape
+    top = jnp.stack([ee, eo], axis=3).reshape(b, h2, w2 * 2, c)
+    bot = jnp.stack([oe, oo], axis=3).reshape(b, h2, w2 * 2, c)
+    return jnp.stack([top, bot], axis=2).reshape(b, h2 * 2, w2 * 2, c)
+
+
+class ZTBlock(nn.Module):
+    """Polyphase-coset zerotree model: each subband's 4 cosets are coded in
+    sequence, each conditioned on the parent subband + earlier cosets =>
+    decode is 4 batched conv evaluations per subband instead of H*W steps."""
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg.clrch
+        L = self.cfg.dwtlevels
+        self.eb_xe = EntropyBottleneck(1 * c)
+        self.eb_xo = EntropyBottleneck(3 * c)
+        n = (L - 1) * 3 * c
+        self.dep_mu = [[_DepNet() for _ in range(4)] for _ in range(n)]
+        self.dep_sigma = [[_DepNet() for _ in range(4)] for _ in range(n)]
+
+    def channel_params(self, idx: int, q_ch, parent_ch):
+        """(sigma, mu) planes for one subband channel from its parent channel
+        and its own already-coded cosets."""
+        ee = q_ch[:, 0::2, 0::2, :]
+        eo = q_ch[:, 0::2, 1::2, :]
+        oe = q_ch[:, 1::2, 0::2, :]
+        deps = [parent_ch,
+                jnp.concatenate([parent_ch, ee], -1),
+                jnp.concatenate([parent_ch, ee, eo], -1),
+                jnp.concatenate([parent_ch, ee, eo, oe], -1)]
+        mu = _interleave_cosets(*[self.dep_mu[idx][k](deps[k])
+                                  for k in range(4)])
+        sigma = _interleave_cosets(*[self.dep_sigma[idx][k](deps[k])
+                                     for k in range(4)])
+        return sigma, mu
+
+    def __call__(self, xe, xo_list, training: bool = True):
+        cfg = self.cfg
+        L, c = cfg.dwtlevels, cfg.clrch
+
+        def rng():
+            return self.make_rng("noise") if training else None
+
+        xe_qnt, lik_xe = self.eb_xe(xe, training)
+        info_xe = -jnp.log2(lik_xe)
+        info_xo: List = [None] * L
+        xo_qnt: List = [None] * L
+        q, lik = self.eb_xo(xo_list[L - 1], training)
+        xo_qnt[L - 1], info_xo[L - 1] = q, -jnp.log2(lik)
+        con = q  # parent stays at its own resolution (cosets match its shape)
+        for step, lvl in enumerate(range(L - 2, -1, -1)):
+            infos, qs = [], []
+            for j in range(3 * c):
+                x_ch = xo_list[lvl][..., j:j + 1]
+                q_ch = _quantize_ctx(x_ch, training, rng())
+                sigma, mu = self.channel_params(
+                    step * 3 * c + j, q_ch, con[..., j:j + 1])
+                _, info = gaussian.self_information_bits(
+                    x_ch, sigma, mu, training, rng())
+                infos.append(info)
+                qs.append(q_ch)
+            info_xo[lvl] = jnp.concatenate(infos, axis=-1)
+            xo_qnt[lvl] = jnp.concatenate(qs, axis=-1)
+            con = xo_qnt[lvl]
+        return info_xe, info_xo, xe_qnt, xo_qnt
+
+    def aux_loss(self):
+        return self.eb_xe.aux_loss() + self.eb_xo.aux_loss()
+
+
+def make_entropy_model(cfg: Config) -> nn.Module:
+    """Entropy-model dispatch (reference ``LiftingBasedDWT_net.py:122-134``)."""
+    if cfg.entropy_layer == "factorized":
+        return FactorizedEntropy(cfg)
+    if cfg.entropy_layer == "onlyEZWT":
+        return OnlyEZWT(cfg)
+    if cfg.entropy_layer == "conditioned2ZTsepSubbands":
+        return ZTSepSubbands(cfg)
+    if cfg.entropy_layer == "DWTConditioned2EntropyLayerZTBlock":
+        return ZTBlock(cfg)
+    raise ValueError(f"unknown entropy_layer {cfg.entropy_layer!r}")

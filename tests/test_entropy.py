@@ -1,0 +1,161 @@
+"""Entropy models: likelihood sanity, pmf normalization, model contracts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.entropy import gaussian
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.entropy.bottleneck import (
+    EntropyBottleneck)
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.entropy.models import (
+    make_entropy_model, upsample2)
+
+
+# ---------------- GaussianConditional ----------------
+
+def test_gaussian_likelihood_matches_normal_cdf_bins():
+    x = jnp.array([[0.0, 1.0, -2.0]])
+    scales = jnp.full_like(x, 2.0)
+    means = jnp.zeros_like(x)
+    _, lik = gaussian.likelihood(x, scales, means, training=False)
+    from scipy.stats import norm
+    expected = (norm.cdf((np.abs(np.asarray(x)) + 0.5) / 2.0)
+                - norm.cdf((np.abs(np.asarray(x)) - 0.5) / 2.0))
+    np.testing.assert_allclose(np.asarray(lik), expected, rtol=1e-5)
+
+
+def test_gaussian_scale_is_lower_bounded():
+    x = jnp.zeros((1, 4))
+    tiny = jnp.full((1, 4), 1e-6)
+    _, lik = gaussian.likelihood(x, tiny, jnp.zeros_like(x), training=False)
+    # with scale clamped to 0.11, a centered bin has essentially mass 1
+    assert float(lik.min()) > 0.99
+
+
+def test_build_indexes_boundaries():
+    table = gaussian.get_scale_table()
+    scales = jnp.array([0.0, 0.11, 0.12, 255.9, 300.0])
+    idx = np.asarray(gaussian.build_indexes(scales, table))
+    assert idx[0] == 0            # below bound -> first row
+    assert idx[1] == 0            # exactly min
+    assert idx[-1] == len(table) - 1
+    assert (np.diff(idx) >= 0).all()
+    # each in-range scale must be <= its row's table value (rows cover
+    # upward); scales above the table max clamp to the last row
+    for s, i in zip(np.asarray(scales), idx):
+        assert min(max(s, 0.11), table[-1]) <= table[i] + 1e-9
+
+
+def test_gaussian_cdf_table_rows_are_normalized():
+    pmf, tail, pmf_length, offset = gaussian.cdf_table()
+    assert pmf.shape[0] == 64
+    for i in range(0, 64, 13):
+        n = int(pmf_length[i])
+        total = pmf[i, :n].sum() + tail[i]
+        np.testing.assert_allclose(total, 1.0, atol=1e-6)
+        assert (pmf[i, :n] > 0).all()
+        assert offset[i] == -(n - 1) // 2
+
+
+def test_gaussian_training_noise_changes_values():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 8, 8, 3))
+    q, lik = gaussian.likelihood(x, jnp.ones_like(x), jnp.zeros_like(x),
+                                 training=True, rng=rng)
+    assert float(jnp.abs(q).max()) > 0  # noise applied
+    assert float(jnp.abs(q).max()) <= 0.5 + 1e-6
+
+
+# ---------------- EntropyBottleneck ----------------
+
+def test_bottleneck_likelihood_and_pmf():
+    eb = EntropyBottleneck(channels=2)
+    x = jnp.zeros((1, 4, 4, 2))
+    variables = eb.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    q, lik = eb.apply(variables, x, False)
+    assert q.shape == x.shape
+    assert float(lik.min()) > 0 and float(lik.max()) <= 1.0
+
+    pmf, tail, pmf_length, offset = eb.apply(variables, method="pmf_table")
+    total = np.asarray(pmf).sum(axis=1) + np.asarray(tail)
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+    aux = eb.apply(variables, method="aux_loss")
+    assert np.isfinite(float(aux))
+
+
+def test_bottleneck_aux_loss_trains_only_quantiles():
+    eb = EntropyBottleneck(channels=1)
+    x = jnp.zeros((1, 2, 2, 1))
+    variables = eb.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+
+    def loss_fn(params):
+        return eb.apply({"params": params}, method="aux_loss")
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, g in flat:
+        name = "/".join(str(p.key) for p in path)
+        if "quantiles" in name:
+            assert float(jnp.abs(g).sum()) > 0
+        else:
+            assert float(jnp.abs(g).sum()) == 0, name
+
+
+# ---------------- subband models ----------------
+
+def _pyramid(levels=3, c=1, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    xe = jnp.asarray(rng.randn(1, h // 2 ** levels, w // 2 ** levels, c)
+                     .astype(np.float32))
+    xo = [jnp.asarray(rng.randn(1, h // 2 ** (i + 1), w // 2 ** (i + 1), 3 * c)
+                      .astype(np.float32)) for i in range(levels)]
+    return xe, xo
+
+
+@pytest.mark.parametrize("layer", [
+    "factorized", "onlyEZWT", "conditioned2ZTsepSubbands",
+    "DWTConditioned2EntropyLayerZTBlock"])
+def test_entropy_model_contract(layer):
+    cfg = Config(entropy_layer=layer, clrch=1, dwtlevels=3)
+    model = make_entropy_model(cfg)
+    xe, xo = _pyramid()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "noise": jax.random.PRNGKey(1)}, xe, xo, True)
+    info_xe, info_xo, xe_q, xo_q = model.apply(
+        variables, xe, xo, True, rngs={"noise": jax.random.PRNGKey(2)})
+    assert info_xe.shape == xe.shape
+    assert len(info_xo) == 3 and len(xo_q) == 3
+    for i in range(3):
+        assert info_xo[i].shape == xo[i].shape
+        assert xo_q[i].shape == xo[i].shape
+        assert bool(jnp.all(jnp.isfinite(info_xo[i])))
+        assert float(info_xo[i].min()) >= 0.0
+    # eval path: quantized values are integer-ish (no means for context qnt)
+    info_xe_e, info_xo_e, xe_qe, xo_qe = model.apply(variables, xe, xo, False)
+    assert bool(jnp.all(jnp.isfinite(info_xe_e)))
+
+
+def test_upsample2_is_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upsample2(x)
+    assert y.shape == (1, 4, 4, 1)
+    expected = np.repeat(np.repeat(np.asarray(x[0, :, :, 0]), 2, 0), 2, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :, :, 0]), expected)
+
+
+def test_ezwt_rate_responds_to_parent_context():
+    """Sanity: the zerotree model's finer-level info depends on the parent."""
+    cfg = Config(entropy_layer="onlyEZWT", clrch=1, dwtlevels=2)
+    model = make_entropy_model(cfg)
+    xe, xo = _pyramid(levels=2)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "noise": jax.random.PRNGKey(1)}, xe, xo, True)
+    _, info_a, _, _ = model.apply(variables, xe, xo, False)
+    xo_b = [xo[0], xo[1] * 5.0]
+    _, info_b, _, _ = model.apply(variables, xe, xo_b, False)
+    assert not np.allclose(np.asarray(info_a[0]), np.asarray(info_b[0]))

@@ -1,0 +1,41 @@
+"""Checkpoint save/load via orbax (reference ``agents/base.py:63-128``).
+
+Checkpoint contents mirror the reference's single-file dict: epoch,
+iteration, best validation loss, model params, optimizer state, plus the
+host-side scheduler / loss-switch / logger states. ``model_best`` is kept
+alongside the rolling checkpoint (reference ``agents/base.py:126-128``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _path(checkpoint_dir: str, name: str) -> str:
+    return os.path.abspath(os.path.join(checkpoint_dir, name))
+
+
+def save_checkpoint(checkpoint_dir: str, payload: Dict[str, Any],
+                    is_best: bool = False, name: str = "checkpoint") -> None:
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_path(checkpoint_dir, name), payload, force=True)
+    if is_best:
+        ckptr.save(_path(checkpoint_dir, "model_best"), payload, force=True)
+
+
+def load_checkpoint(checkpoint_dir: str, name: str = "checkpoint",
+                    template: Optional[Dict[str, Any]] = None
+                    ) -> Optional[Dict[str, Any]]:
+    path = _path(checkpoint_dir, name)
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(), template)
+        return ckptr.restore(path, item=template, restore_args=restore_args)
+    return ckptr.restore(path)

@@ -1,0 +1,231 @@
+"""Training/eval runtime (reference layer L2: ``agents/base.py`` +
+``agents/liftingDWT_agent.py``), re-shaped around a pure jitted step.
+
+Mode dispatch mirrors ``BaseAgent.run`` (``agents/base.py:130-154``):
+train / train_postprocess / validate / validate_recu_reco / test / debug
+(debug wraps training in ``jax.debug_nans`` — the analog of the reference's
+``torch.autograd.detect_anomaly``). Crash-save semantics are preserved: any
+exception triggers a checkpoint save before re-raising
+(``agents/base.py:148-154``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.codec import CodecWrapper
+from . import checkpoint as ckpt
+from .data import ImageDataLoader
+from .loggers import RDLogger, setup_logging
+from .state import (LossSwitchController, PlateauScheduler, TrainState,
+                    init_state, make_eval_step, make_optimizer,
+                    make_train_step)
+
+
+class LiftingDWTAgent:
+    """End-to-end experiment runtime for the wavelet codec family."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.logger = setup_logging(cfg.log_dir)
+        self.model = CodecWrapper(cfg)
+        self.data = ImageDataLoader(cfg)
+        self.tx = make_optimizer(cfg)
+        self.train_step = make_train_step(cfg, self.model, self.tx)
+        self.eval_step = make_eval_step(cfg, self.model)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = jnp.zeros(
+            (1, max(cfg.patch_size, 32), max(cfg.patch_size, 32), 3))
+        self.state = init_state(cfg, self.model, sample, rng)
+        self.rng = jax.random.fold_in(rng, 7)
+
+        self.scheduler = PlateauScheduler(lr=cfg.learning_rate)
+        self.loss_switch = LossSwitchController(
+            enabled=(cfg.training_loss_switch == 0),
+            threshold=cfg.loss_switch_thr)
+        self.current_epoch = 0
+        self.current_iteration = 0
+        self.best_valid_loss = float("inf")
+
+        jsonl = f"{cfg.summary_dir}/metrics.jsonl" if cfg.summary_dir else None
+        self.train_logger = RDLogger(self.logger, jsonl)
+        self.trnit_logger = RDLogger(self.logger, jsonl)
+        self.valid_logger = RDLogger(self.logger, jsonl)
+        self.test_logger = RDLogger(self.logger, jsonl)
+
+        if cfg.mode in ("test", "validate", "validate_recu_reco"):
+            self.load_checkpoint("model_best")
+        elif cfg.resume_training:
+            self.load_checkpoint(cfg.checkpoint_file)
+        self.model_size_estimation()
+
+    # ------------------------------------------------------------------
+    def run(self):
+        mode = self.cfg.mode
+        try:
+            if mode == "train":
+                self.train()
+            elif mode == "debug":
+                with jax.debug_nans(True):
+                    self.train()
+            elif mode == "validate":
+                self.validate()
+            elif mode == "validate_recu_reco":
+                self.validate_recu_reco()
+            elif mode == "test":
+                self.test()
+            elif mode == "train_postprocess":
+                self.train_postprocess()
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+        except KeyboardInterrupt:
+            self.logger.info("interrupted — saving checkpoint")
+            self.save_checkpoint()
+        except Exception:
+            self.logger.exception("training crashed — saving checkpoint")
+            self.save_checkpoint()
+            raise
+
+    def train(self):
+        cfg = self.cfg
+        for epoch in range(self.current_epoch, cfg.max_epoch):
+            self.current_epoch = epoch
+            self.train_one_epoch(epoch)
+            if (epoch + 1) % cfg.validate_every == 0:
+                valid_loss = self.validate()
+                is_best = valid_loss < self.best_valid_loss
+                self.best_valid_loss = min(valid_loss, self.best_valid_loss)
+                self.save_checkpoint(is_best=is_best)
+
+    def train_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        steps = self.data.steps_per_epoch()
+        lr = jnp.asarray(self.scheduler.lr, jnp.float32)
+        for batch in self.data.train_batches(steps, seed=epoch):
+            self.rng, step_rng = jax.random.split(self.rng)
+            rate_w = jnp.asarray(self.loss_switch.rate_weight(), jnp.float32)
+            self.state, out, aux = self.train_step(
+                self.state, jnp.asarray(batch), step_rng, lr, rate_w)
+            self.current_iteration += 1
+            vals = (float(out.loss), float(out.mse),
+                    float(out.rate1), float(out.rate2))
+            self.train_logger(*vals)
+            self.trnit_logger(*vals)
+            if (self.current_iteration + 1) % cfg.loss_prnt_iters == 0:
+                _, it_mse, _, _ = self.trnit_logger.display(
+                    lr=self.scheduler.lr, typ="it",
+                    step=self.current_iteration)
+                was_off = not self.loss_switch.rate_on
+                self.loss_switch.observe_window_mse(it_mse)
+                if was_off and self.loss_switch.rate_on:
+                    self.logger.info(
+                        "loss switch: D-only -> Rate + lambda*Distortion")
+        rd, _, _, _ = self.train_logger.display(
+            lr=self.scheduler.lr, typ="tr", step=self.current_iteration)
+        self.scheduler.step(rd)
+
+    def validate(self) -> float:
+        psnrs, r1s, r2s = [], [], []
+        for batch in self.data.valid_batches():
+            out = self.eval_step(self.state.params, jnp.asarray(batch))
+            self.valid_logger(float(out.loss), float(out.mse),
+                              float(out.rate1), float(out.rate2))
+            psnrs.append(-10.0 * np.log10(max(float(out.mse), 1e-12)))
+            r1s.append(float(out.rate1))
+            r2s.append(float(out.rate2))
+        rd, _, _, _ = self.valid_logger.display(
+            lr=0.0, typ="va", step=self.current_iteration)
+        self.logger.info(
+            f" avg_psnr = {np.mean(psnrs):.2f}, rate_1 = {np.mean(r1s):.4f},"
+            f" rate_2 = {np.mean(r2s):.4f},"
+            f" total_rate = {np.mean(r1s) + np.mean(r2s):.4f}")
+        return rd
+
+    def validate_recu_reco(self):
+        """Recursive-reconstruction validation — stub in the reference too
+        (``agents/liftingDWT_agent.py:254-258``)."""
+        self.logger.info("validate_recu_reco: not implemented (stub parity)")
+
+    def test(self):
+        """Real encode+decode with the bitstream path (reference
+        ``agents/liftingDWT_agent.py:262-311``)."""
+        from ..coding.codec_coder import CodecCoder
+
+        coder = CodecCoder(self.cfg, self.model, self.state.params)
+        psnrs, bpps = [], []
+        for batch in self.data.test_batches():
+            res = coder.compress_decompress(np.asarray(batch))
+            psnrs.append(res.psnr)
+            bpps.append(res.bpp)
+            self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)
+        self.logger.info(
+            f" avg_psnr = {np.mean(psnrs):.2f}, total_rate = "
+            f"{np.mean(bpps):.4f} bpp (real bitstream)")
+        return float(np.mean(psnrs)), float(np.mean(bpps))
+
+    def train_postprocess(self):
+        from .postprocess_loop import train_postprocess
+        train_postprocess(self)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, is_best: bool = False):
+        if not self.cfg.checkpoint_dir:
+            return
+        payload = {
+            "epoch": self.current_epoch,
+            "iteration": self.current_iteration,
+            "best_valid_loss": self.best_valid_loss,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "scheduler": self.scheduler.state_dict(),
+            "loss_switch": self.loss_switch.state_dict(),
+            "train_logger": self.train_logger.state_dict(),
+            "valid_logger": self.valid_logger.state_dict(),
+        }
+        ckpt.save_checkpoint(self.cfg.checkpoint_dir, payload, is_best,
+                             name=self.cfg.checkpoint_file)
+
+    def load_checkpoint(self, name: str):
+        template = {
+            "epoch": 0, "iteration": 0, "best_valid_loss": 0.0,
+            "params": self.state.params, "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "scheduler": self.scheduler.state_dict(),
+            "loss_switch": self.loss_switch.state_dict(),
+            "train_logger": self.train_logger.state_dict(),
+            "valid_logger": self.valid_logger.state_dict(),
+        }
+        payload = ckpt.load_checkpoint(self.cfg.checkpoint_dir, name,
+                                       template=None)
+        if payload is None:
+            self.logger.warning(f"no checkpoint {name!r} found — fresh init")
+            return
+        self.current_epoch = int(payload["epoch"])
+        self.current_iteration = int(payload["iteration"])
+        self.best_valid_loss = float(payload["best_valid_loss"])
+        self.state = TrainState(payload["params"], payload["opt_state"],
+                                jnp.asarray(payload["step"]))
+        self.scheduler.load_state_dict(payload["scheduler"])
+        self.loss_switch.load_state_dict(payload["loss_switch"])
+        self.train_logger.load_state_dict(payload["train_logger"])
+        self.valid_logger.load_state_dict(payload["valid_logger"])
+        self.logger.info(f"restored checkpoint {name!r} at epoch "
+                         f"{self.current_epoch}")
+
+    def finalize(self):
+        self.save_checkpoint()
+
+    def model_size_estimation(self):
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.state.params))
+        mb = n_params * 4 / 1024 ** 2
+        self.logger.info(f"model params: {n_params:,} ({mb:.2f} MB fp32)")
+        return mb

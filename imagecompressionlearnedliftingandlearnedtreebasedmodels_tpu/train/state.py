@@ -1,0 +1,172 @@
+"""Training state: optimizer, jitted train/eval steps, host-side controllers.
+
+The reference couples three pieces of training statefulness into its agent
+(``agents/liftingDWT_agent.py``): an Adam optimizer (``:369-389``), a
+``ReduceLROnPlateau`` scheduler (``:43-45``), and a D-only -> R+lambda*D loss
+switch (``:103-109``). Here the device-side math is a pure jitted step over a
+param/opt-state pytree, and the two schedulers are small host-side
+controllers that feed scalars (learning rate, rate weight) into the step —
+the pattern SURVEY.md section 7 calls the "host-side plateau detector".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..ops import color
+from .loss import RDLossOutput, rd_loss3
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam with runtime-adjustable lr (plateau scheduler writes into the
+    injected hyperparams)."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.learning_rate)
+
+
+def init_state(cfg: Config, model, sample_batch, rng) -> TrainState:
+    variables = model.init(
+        {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+        sample_batch, True)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def apply_color_forward(cfg: Config, model, params, x, training, rng):
+    """Color policy + model forward; x is NHWC RGB in [0,1].
+
+    Returns shifted (x', xhat') in [-0.5, 0.5] plus the info tensors, exactly
+    mirroring the reference's pre/post handling
+    (``agents/liftingDWT_agent.py:80-94``).
+    """
+    rngs = {"noise": rng} if training else None
+    if cfg.clrch == 3:
+        xs = x - 0.5
+        xhat, info_xe, info_xo = model.apply(
+            {"params": params}, xs, training, rngs=rngs)
+        return xs, xhat, info_xe, info_xo
+    y = color.shift_ycbcr(color.rgb_to_ycbcr(x))
+    yhat, info_xe, info_xo = model.apply(
+        {"params": params}, y, training, rngs=rngs)
+    xhat = color.ycbcr_to_rgb(color.unshift_ycbcr(yhat))
+    return x - 0.5, xhat - 0.5, info_xe, info_xo
+
+
+def make_train_step(cfg: Config, model, tx):
+    """Build the jitted train step.
+
+    ``rate_weight`` (0.0 or 1.0) implements the loss switch; ``lr`` feeds the
+    plateau scheduler's current rate. Aux (quantile) losses are added with
+    stop-gradient separation so they only train bottleneck quantiles.
+    The reference's ``grad_acc_iters`` quirk — loss divided by the divisor but
+    the optimizer stepped every iteration (``liftingDWT_agent.py:97-98``) —
+    is reproduced by the 1/k loss scale.
+    """
+
+    loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng, lr, rate_weight
+                   ) -> Tuple[TrainState, RDLossOutput, jnp.ndarray]:
+        def loss_fn(params):
+            xs, xhat, info_xe, info_xo = apply_color_forward(
+                cfg, model, params, batch, True, rng)
+            out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
+                           rate_weight)
+            aux = model.apply({"params": params}, method="aux_loss")
+            return (out.loss + aux) * loss_scale, (out, aux)
+
+        grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), out, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model):
+    """Jitted validation step (surrogate eval: hard rounding, no bitstream),
+    with the reference's ``xhat.clamp_(-0.5, 0.5)``
+    (``liftingDWT_agent.py:181``)."""
+
+    @jax.jit
+    def eval_step(params, batch) -> RDLossOutput:
+        xs, xhat, info_xe, info_xo = apply_color_forward(
+            cfg, model, params, batch, False, None)
+        xhat = jnp.clip(xhat, -0.5, 0.5)
+        return rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_, 1.0)
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (reference ``liftingDWT_agent.py:43-45``:
+    factor 0.5, patience 5, rel threshold 1e-4, min_lr 1e-6)."""
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 5
+    threshold: float = 1e-4
+    min_lr: float = 1e-6
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+    def state_dict(self):
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d):
+        self.lr, self.best, self.num_bad = d["lr"], d["best"], d["num_bad"]
+
+
+@dataclasses.dataclass
+class LossSwitchController:
+    """Host-side D-only -> R+lambda*D switch (reference
+    ``liftingDWT_agent.py:103-109``): once the windowed training MSE drops
+    below ``loss_switch_thr``, the rate term turns on permanently."""
+
+    enabled: bool          # training_loss_switch == 0 means "start D-only"
+    threshold: float
+
+    def __post_init__(self):
+        self.rate_on = not self.enabled
+
+    def rate_weight(self) -> float:
+        return 1.0 if self.rate_on else 0.0
+
+    def observe_window_mse(self, mse: float) -> None:
+        if not self.rate_on and mse < self.threshold:
+            self.rate_on = True
+
+    def state_dict(self):
+        return {"rate_on": self.rate_on}
+
+    def load_state_dict(self, d):
+        self.rate_on = d["rate_on"]

@@ -1,0 +1,413 @@
+"""Real encode+decode: device-computed CDF indexes -> host rANS bitstreams.
+
+TPU-native re-design of the reference's ``test`` path
+(``LiftingBasedDWT_net.py:136-152`` compress; ``:374-456`` entropymodel.test):
+the device computes all (mu, sigma) context parameters and CDF indexes with
+whole-tensor fused convs, and only integer symbols/indexes cross the
+host<->device boundary for the C++ rANS coder. The reference instead runs an
+O(H*W) per-pixel Python loop per subband (``:469-556``); here
+
+- factorized / onlyEZWT: ONE device pass + one host rANS call per tensor
+  (the models have no intra-subband serial dependency),
+- ZTBlock: 4 batched passes per subband (polyphase cosets),
+- ZTsepSubbands: wavefront anti-diagonal decode (see ``wavefront.py``).
+
+Decode-consistency contract: every context input is the *decoded* value
+``round(x - mu) + mu`` (the reference's writeback at
+``LiftingBasedDWT_net.py:488``), so encoder and decoder see bit-identical
+context and the symbol streams round-trip exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..entropy import gaussian
+from ..ops import color
+from . import rans
+
+
+@dataclasses.dataclass
+class PlaneStreams:
+    """Byte streams for one color plane: LL + one per detail level."""
+    xe: bytes
+    xo: List[bytes]
+
+    def nbytes(self) -> int:
+        return len(self.xe) + sum(len(s) for s in self.xo)
+
+
+@dataclasses.dataclass
+class CodecResult:
+    xhat: np.ndarray
+    bpp: float
+    psnr: float
+    streams: List[PlaneStreams]
+
+
+def _gc_tables() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantized CDF matrix for the 64-entry Gaussian scale table."""
+    pmf, tail, lengths, offsets = gaussian.cdf_table()
+    cdfs, cdf_lengths = rans.build_cdf_matrix(pmf, tail, lengths)
+    return cdfs, cdf_lengths, offsets.astype(np.int32)
+
+
+class CodecCoder:
+    """Bitstream compress/decompress around a trained CodecWrapper."""
+
+    def __init__(self, cfg: Config, model, params):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.n_planes = 1 if cfg.clrch == 3 else 3
+        self._gc_cdfs, self._gc_lengths, self._gc_offsets = _gc_tables()
+        self._jit_cache: Dict = {}
+        self._eb_tables: Dict = {}
+
+    # --- module access ------------------------------------------------
+    def _plane_module(self, m, plane: int):
+        return m.codec if self.cfg.clrch == 3 else m.codecs[plane]
+
+    def _jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda params, *args: self.model.apply(
+                    {"params": params}, *args, method=fn))
+        return self._jit_cache[key]
+
+    def _analysis(self, plane: int):
+        return self._jit(("enc", plane), lambda m, x: self._plane_module(
+            m, plane).transform.encode(x))
+
+    def _synthesis(self, plane: int):
+        return self._jit(("dec", plane), lambda m, xe, xo: self._plane_module(
+            m, plane).transform.decode(xe, list(xo)))
+
+    def _entropy_method(self, plane: int, name: str, *static):
+        """Jitted entropy-model method with Python-level static leading args
+        (level / dep-net / coset indices select submodules, so they must be
+        baked into the trace, one compiled fn per combination)."""
+        key = (name, plane) + static
+
+        def fn(m, *args):
+            return getattr(self._plane_module(m, plane).entropymodel,
+                           name)(*static, *args)
+        return self._jit(key, fn)
+
+    # --- EB (factorized bottleneck) coding ----------------------------
+    def _eb_table(self, plane: int, attr: str, index: Optional[int] = None):
+        key = (plane, attr, index)
+        if key not in self._eb_tables:
+            def fn(m):
+                em = self._plane_module(m, plane).entropymodel
+                eb = getattr(em, attr)
+                if index is not None:
+                    eb = eb[index]
+                pmf, tail, length, offset = eb.pmf_table()
+                return pmf, tail, length, offset, eb.medians()
+            pmf, tail, length, offset, med = jax.device_get(
+                self.model.apply({"params": self.params}, method=fn))
+            cdfs, lengths = rans.build_cdf_matrix(
+                np.asarray(pmf), np.asarray(tail), np.asarray(length))
+            self._eb_tables[key] = (cdfs, lengths,
+                                    np.asarray(offset, np.int32),
+                                    np.asarray(med))
+        return self._eb_tables[key]
+
+    def _eb_encode(self, x: np.ndarray, table) -> Tuple[bytes, np.ndarray]:
+        cdfs, lengths, offsets, med = table
+        symbols = np.round(x - med).astype(np.int32)
+        indexes = np.broadcast_to(
+            np.arange(x.shape[-1], dtype=np.int32), x.shape)
+        data = rans.encode_with_indexes(
+            symbols.ravel(), indexes.ravel(), cdfs, lengths, offsets)
+        xhat = symbols.astype(np.float32) + med
+        return data, xhat
+
+    def _eb_decode(self, data: bytes, shape, table) -> np.ndarray:
+        cdfs, lengths, offsets, med = table
+        indexes = np.broadcast_to(
+            np.arange(shape[-1], dtype=np.int32), shape)
+        symbols = rans.decode_with_indexes(
+            data, indexes.ravel(), cdfs, lengths, offsets).reshape(shape)
+        return symbols.astype(np.float32) + med
+
+    # --- GC (conditional Gaussian) coding ------------------------------
+    def _gc_encode(self, x: np.ndarray, sigma, mu) -> Tuple[bytes, np.ndarray]:
+        indexes = np.asarray(gaussian.build_indexes(jnp.asarray(sigma)))
+        symbols = np.round(np.asarray(x) - np.asarray(mu)).astype(np.int32)
+        data = rans.encode_with_indexes(
+            symbols.ravel(), indexes.ravel(), self._gc_cdfs,
+            self._gc_lengths, self._gc_offsets)
+        return data, symbols.astype(np.float32) + np.asarray(mu)
+
+    def _gc_decode(self, data: bytes, sigma, mu) -> np.ndarray:
+        indexes = np.asarray(gaussian.build_indexes(jnp.asarray(sigma)))
+        symbols = rans.decode_with_indexes(
+            data, indexes.ravel(), self._gc_cdfs, self._gc_lengths,
+            self._gc_offsets).reshape(indexes.shape)
+        return symbols.astype(np.float32) + np.asarray(mu)
+
+    def _gc_stream_decode(self, dec: rans.RansDecoder, sigma, mu) -> np.ndarray:
+        indexes = np.asarray(gaussian.build_indexes(jnp.asarray(sigma)))
+        symbols = dec.decode_stream(
+            indexes.ravel(), self._gc_cdfs, self._gc_lengths,
+            self._gc_offsets).reshape(indexes.shape)
+        return symbols.astype(np.float32) + np.asarray(mu)
+
+    # --- per-entropy-model plane coding --------------------------------
+    def compress_plane(self, plane: int, y: np.ndarray
+                       ) -> Tuple[PlaneStreams, List, jnp.ndarray, List]:
+        """Analysis + entropy-encode one color plane. Returns streams plus
+        the decode-consistent subband reconstructions."""
+        xe, xo_list = self._analysis(plane)(self.params, jnp.asarray(y))
+        el = self.cfg.entropy_layer
+        if el == "factorized":
+            return self._compress_factorized(plane, xe, xo_list)
+        if el == "onlyEZWT":
+            return self._compress_ezwt(plane, xe, xo_list)
+        if el == "DWTConditioned2EntropyLayerZTBlock":
+            return self._compress_ztblock(plane, xe, xo_list)
+        if el == "conditioned2ZTsepSubbands":
+            from .wavefront import compress_ztsep
+            return compress_ztsep(self, plane, xe, xo_list)
+        raise ValueError(el)
+
+    def decompress_plane(self, plane: int, streams: PlaneStreams,
+                         xe_shape, xo_shapes) -> np.ndarray:
+        el = self.cfg.entropy_layer
+        if el == "factorized":
+            xe_hat, xo_hat = self._decompress_factorized(
+                plane, streams, xe_shape, xo_shapes)
+        elif el == "onlyEZWT":
+            xe_hat, xo_hat = self._decompress_ezwt(
+                plane, streams, xe_shape, xo_shapes)
+        elif el == "DWTConditioned2EntropyLayerZTBlock":
+            xe_hat, xo_hat = self._decompress_ztblock(
+                plane, streams, xe_shape, xo_shapes)
+        elif el == "conditioned2ZTsepSubbands":
+            from .wavefront import decompress_ztsep
+            xe_hat, xo_hat = decompress_ztsep(
+                self, plane, streams, xe_shape, xo_shapes)
+        else:
+            raise ValueError(el)
+        yhat = self._synthesis(plane)(
+            self.params, jnp.asarray(xe_hat),
+            tuple(jnp.asarray(t) for t in xo_hat))
+        return np.asarray(yhat)
+
+    # factorized ---------------------------------------------------------
+    def _compress_factorized(self, plane, xe, xo_list):
+        L = self.cfg.dwtlevels
+        xo_streams, xo_hats = [], []
+        for i in range(L):
+            table = self._eb_table(plane, "eb_xo", i)
+            data, hat = self._eb_encode(np.asarray(xo_list[i]), table)
+            xo_streams.append(data)
+            xo_hats.append(hat)
+        data_xe, xe_hat = self._eb_encode(
+            np.asarray(xe), self._eb_table(plane, "eb_xe"))
+        return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
+
+    def _decompress_factorized(self, plane, streams, xe_shape, xo_shapes):
+        xe_hat = self._eb_decode(streams.xe, xe_shape,
+                                 self._eb_table(plane, "eb_xe"))
+        xo_hat = [self._eb_decode(streams.xo[i], xo_shapes[i],
+                                  self._eb_table(plane, "eb_xo", i))
+                  for i in range(self.cfg.dwtlevels)]
+        return xe_hat, xo_hat
+
+    # onlyEZWT -----------------------------------------------------------
+    def _compress_ezwt(self, plane, xe, xo_list):
+        L = self.cfg.dwtlevels
+        data_xe, xe_hat = self._eb_encode(
+            np.asarray(xe), self._eb_table(plane, "eb_xe"))
+        xo_streams: List[bytes] = [b""] * L
+        xo_hats: List[np.ndarray] = [None] * L
+        data, hat = self._eb_encode(
+            np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
+        xo_streams[L - 1], xo_hats[L - 1] = data, hat
+        con = hat
+        for i in range(L - 2, -1, -1):
+            sigma, mu = self._entropy_method(
+                plane, "level_params_from_parent", i)(
+                    self.params, jnp.asarray(con))
+            data, hat = self._gc_encode(np.asarray(xo_list[i]), sigma, mu)
+            xo_streams[i], xo_hats[i] = data, hat
+            con = hat
+        return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
+
+    def _decompress_ezwt(self, plane, streams, xe_shape, xo_shapes):
+        L = self.cfg.dwtlevels
+        xe_hat = self._eb_decode(streams.xe, xe_shape,
+                                 self._eb_table(plane, "eb_xe"))
+        xo_hat: List[np.ndarray] = [None] * L
+        xo_hat[L - 1] = self._eb_decode(
+            streams.xo[L - 1], xo_shapes[L - 1],
+            self._eb_table(plane, "eb_xo"))
+        con = xo_hat[L - 1]
+        for i in range(L - 2, -1, -1):
+            sigma, mu = self._entropy_method(
+                plane, "level_params_from_parent", i)(
+                    self.params, jnp.asarray(con))
+            xo_hat[i] = self._gc_decode(streams.xo[i], sigma, mu)
+            con = xo_hat[i]
+        return xe_hat, xo_hat
+
+    # ZTBlock ------------------------------------------------------------
+    def _compress_ztblock(self, plane, xe, xo_list):
+        L, c = self.cfg.dwtlevels, self.cfg.clrch
+        data_xe, xe_hat = self._eb_encode(
+            np.asarray(xe), self._eb_table(plane, "eb_xe"))
+        xo_streams: List[bytes] = [b""] * L
+        xo_hats: List[np.ndarray] = [None] * L
+        data, hat = self._eb_encode(
+            np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
+        xo_streams[L - 1], xo_hats[L - 1] = data, hat
+        con = hat
+        for step, lvl in enumerate(range(L - 2, -1, -1)):
+            x_lvl = np.asarray(xo_list[lvl])
+            hats, datas = [], []
+            for j in range(3 * c):
+                idx = step * 3 * c + j
+                parent = jnp.asarray(con[..., j:j + 1])
+                x_ch = x_lvl[..., j:j + 1]
+                hat_ch, chunk = self._code_channel_cosets(
+                    plane, idx, parent, x_ch, None)
+                hats.append(hat_ch)
+                datas.append(chunk)
+            xo_streams[lvl] = _pack_chunks(datas)
+            xo_hats[lvl] = np.concatenate(hats, axis=-1)
+            con = xo_hats[lvl]
+        return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
+
+    def _decompress_ztblock(self, plane, streams, xe_shape, xo_shapes):
+        L, c = self.cfg.dwtlevels, self.cfg.clrch
+        xe_hat = self._eb_decode(streams.xe, xe_shape,
+                                 self._eb_table(plane, "eb_xe"))
+        xo_hat: List[np.ndarray] = [None] * L
+        xo_hat[L - 1] = self._eb_decode(
+            streams.xo[L - 1], xo_shapes[L - 1],
+            self._eb_table(plane, "eb_xo"))
+        con = xo_hat[L - 1]
+        for step, lvl in enumerate(range(L - 2, -1, -1)):
+            chunks = _unpack_chunks(streams.xo[lvl])
+            hats = []
+            for j in range(3 * c):
+                idx = step * 3 * c + j
+                parent = jnp.asarray(con[..., j:j + 1])
+                hat_ch, _ = self._code_channel_cosets(
+                    plane, idx, parent, None, chunks[j])
+                hats.append(hat_ch)
+            xo_hat[lvl] = np.concatenate(hats, axis=-1)
+            con = xo_hat[lvl]
+        return xe_hat, xo_hat
+
+    def _code_channel_cosets(self, plane, idx, parent, x_ch, chunks_in):
+        """Shared encode/decode driver for one subband channel's 4 cosets.
+
+        Encode mode (``x_ch`` given): returns (hat_channel, [4 streams]).
+        Decode mode (``chunks_in`` given): returns (hat_channel, None).
+        """
+        encode = x_ch is not None
+        b = parent.shape[0]
+        h2, w2 = parent.shape[1], parent.shape[2]
+        cosets: List[Optional[np.ndarray]] = [None] * 4
+        chunks_out: List[bytes] = []
+        if encode:
+            x_cosets = [x_ch[:, 0::2, 0::2], x_ch[:, 0::2, 1::2],
+                        x_ch[:, 1::2, 0::2], x_ch[:, 1::2, 1::2]]
+        if not encode:
+            dec = rans.RansDecoder()
+        for k in range(4):
+            prev = [jnp.asarray(cosets[m]) for m in range(k)]
+            sigma, mu = self._entropy_method(
+                plane, "coset_params", idx, k)(self.params, parent, *prev)
+            if encode:
+                data, hat = self._gc_encode(x_cosets[k], sigma, mu)
+                chunks_out.append(data)
+            else:
+                dec.set_stream(chunks_in[k])
+                hat = self._gc_stream_decode(dec, sigma, mu)
+            cosets[k] = hat
+        from ..entropy.models import _interleave_cosets
+        hat_ch = np.asarray(_interleave_cosets(
+            *[jnp.asarray(cc) for cc in cosets]))
+        return hat_ch, (chunks_out if encode else None)
+
+    # --- top level ------------------------------------------------------
+    def compress_decompress(self, batch: np.ndarray) -> CodecResult:
+        """Full round trip for a batch of RGB images in [0,1]; returns the
+        reconstruction, true bitstream bpp and PSNR (reference
+        ``agents/liftingDWT_agent.py:262-311`` semantics)."""
+        cfg = self.cfg
+        b, h, w, _ = batch.shape
+        assert b == 1, "coding path processes one image at a time"
+        if cfg.clrch == 3:
+            planes = [batch - 0.5]
+        else:
+            ycbcr = np.asarray(color.shift_ycbcr(
+                color.rgb_to_ycbcr(jnp.asarray(batch))))
+            planes = [ycbcr[..., i:i + 1] for i in range(3)]
+
+        streams: List[PlaneStreams] = []
+        yhats = []
+        for p, y in enumerate(planes):
+            plane_streams, _, xe_hat, xo_hats = self.compress_plane(p, y)
+            streams.append(plane_streams)
+            xe_shape = xe_hat.shape
+            xo_shapes = [t.shape for t in xo_hats]
+            yhat = self.decompress_plane(p, plane_streams, xe_shape,
+                                         xo_shapes)
+            yhats.append(yhat)
+
+        if cfg.clrch == 3:
+            xhat = np.clip(yhats[0], -0.5, 0.5) + 0.5
+        else:
+            y = np.concatenate(yhats, axis=-1)
+            xhat = np.asarray(color.ycbcr_to_rgb(
+                color.unshift_ycbcr(jnp.asarray(y))))
+            xhat = np.clip(xhat, 0.0, 1.0)
+        total_bytes = sum(s.nbytes() for s in streams)
+        bpp = total_bytes * 8.0 / (h * w)
+        mse = float(np.mean((batch - xhat) ** 2))
+        psnr = float(-10.0 * np.log10(max(mse, 1e-12)))
+        return CodecResult(xhat, bpp, psnr, streams)
+
+
+def _pack_chunks(chunks) -> bytes:
+    """Length-prefixed concatenation of nested byte chunks."""
+    flat: List[bytes] = []
+
+    def walk(c):
+        if isinstance(c, (bytes, bytearray)):
+            flat.append(bytes(c))
+        else:
+            for e in c:
+                walk(e)
+    walk(chunks)
+    out = [np.int64(len(flat)).tobytes()]
+    for f in flat:
+        out.append(np.int64(len(f)).tobytes())
+        out.append(f)
+    return b"".join(out)
+
+
+def _unpack_chunks(data: bytes, group: int = 4):
+    """Inverse of :func:`_pack_chunks`, regrouped into lists of ``group``."""
+    n = int(np.frombuffer(data[:8], np.int64)[0])
+    pos = 8
+    flat: List[bytes] = []
+    for _ in range(n):
+        ln = int(np.frombuffer(data[pos:pos + 8], np.int64)[0])
+        pos += 8
+        flat.append(data[pos:pos + ln])
+        pos += ln
+    return [flat[i:i + group] for i in range(0, len(flat), group)]

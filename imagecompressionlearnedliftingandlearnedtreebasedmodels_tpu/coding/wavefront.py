@@ -1,0 +1,198 @@
+"""Wavefront (anti-diagonal) coding for the causal-context entropy model.
+
+The reference's ``compress_ar``/``decompress_ar``
+(``LiftingBasedDWT_net.py:458-556``) run a per-pixel Python loop — O(H*W)
+sequential steps, each invoking a tiny conv on a k x k crop. On TPU we
+exploit the causal mask's structure: under a mask-A conv with kernel height
+``kh``, every pixel on anti-diagonal ``d = a*row + col`` (``a = kh//2 + 1``)
+depends only on pixels of diagonals < d. So coding proceeds one diagonal at
+a time — O(a*H + W) batched steps instead of O(H*W) serial ones — and within
+a step all of the diagonal's pixels (and all subband channels, which are
+group-separated in the context nets) are processed as one batch:
+
+- parameters come from patch-center evaluation: (n_d, 5, 5, C) causal
+  windows for the single-conv finer-level context, (n_d, 11, 11, C) for the
+  5-layer coarse/LL PixelCNNs (exact-center receptive field), with the
+  parent context precomputed once per level as a whole-plane pass;
+- one host rANS ``decode_stream`` call consumes the diagonal's symbols.
+
+The encoder walks the same diagonals (symbols from the true values) so the
+context plane is bit-identical on both sides: every context input is the
+decoded value ``round(x - mu) + mu`` (the reference's writeback at
+``LiftingBasedDWT_net.py:488``). Batch sizes are bucketed to powers of two
+to bound jit recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import gaussian
+from . import rans
+
+
+def diagonal_order(h: int, w: int, a: int) -> List[np.ndarray]:
+    """Pixel coordinates grouped by anti-diagonal d = a*row + col; each
+    entry is an (n_d, 2) int array of (row, col), rows ascending."""
+    rows, cols = np.mgrid[0:h, 0:w]
+    d = a * rows + cols
+    order = []
+    for dv in range(int(d.max()) + 1):
+        mask = d == dv
+        if mask.any():
+            rr, cc = rows[mask], cols[mask]
+            order.append(np.stack([rr, cc], axis=1))
+    return order
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _gather_patches(padded: np.ndarray, coords: np.ndarray, k: int,
+                    bucket: int) -> np.ndarray:
+    """(n,2) coords -> (bucket, k, k, C) windows from the zero-padded plane
+    (window top-left at the unpadded coordinate)."""
+    n = coords.shape[0]
+    c = padded.shape[-1]
+    out = np.zeros((bucket, k, k, c), np.float32)
+    ri = coords[:, 0, None, None] + np.arange(k)[None, :, None]
+    ci = coords[:, 1, None, None] + np.arange(k)[None, None, :]
+    out[:n] = padded[0, ri, ci, :]
+    return out
+
+
+class ZTSepPlaneCoder:
+    """Shared encode/decode wavefront walker for one tensor plane."""
+
+    def __init__(self, coder, plane: int):
+        self.coder = coder
+        self.plane = plane
+
+    def _center_fn(self, name: str, *static):
+        return self.coder._entropy_method(self.plane, name, *static)
+
+    def code(self, kind: str, level: Optional[int], x_true, shape,
+             decoder: Optional[rans.RansDecoder], con=None
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Walk the plane. Encode mode when ``x_true`` is given (returns
+        symbols/indexes diagonal-major); decode mode consumes ``decoder``.
+        Returns (hat, symbols, indexes)."""
+        coder = self.coder
+        if x_true is not None:
+            shape = x_true.shape
+        b, h, w, c = shape
+        assert b == 1
+        if kind == "level":
+            k, name, static = 5, "level_center_params", (level,)
+            # whole-plane parent context, once
+            plc = jax.device_get(self._center_fn(
+                "plc_params_from_parent", level)(coder.params, con))
+        else:
+            k, name, static = 11, ("xe_center_params" if kind == "xe"
+                                   else "coarsest_center_params"), ()
+            plc = None
+        a = (5 // 2 + 1) if kind == "level" else (3 // 2 + 1)
+        pad = k // 2
+        order = diagonal_order(h, w, a)
+        fn = self._center_fn(name, *static)
+
+        padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
+        hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
+        all_syms, all_idxs = [], []
+        for coords in order:
+            n = coords.shape[0]
+            bucket = _bucket(n)
+            patches = _gather_patches(padded, coords, k, bucket)
+            if kind == "level":
+                plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
+                plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
+                sigma, mu = fn(coder.params, jnp.asarray(patches),
+                               jnp.asarray(plc_c))
+            else:
+                sigma, mu = fn(coder.params, jnp.asarray(patches))
+            sigma = np.asarray(sigma)[:n]
+            mu = np.asarray(mu)[:n]
+            idx_d = np.asarray(gaussian.build_indexes(
+                jnp.asarray(sigma))).ravel()
+            rr, cc = coords[:, 0], coords[:, 1]
+            if x_true is not None:
+                x_d = x_true[0, rr, cc, :]
+                sym_d = np.round(x_d - mu).astype(np.int32).ravel()
+            else:
+                sym_d = decoder.decode_stream(
+                    idx_d, coder._gc_cdfs, coder._gc_lengths,
+                    coder._gc_offsets)
+            val_d = sym_d.reshape(n, c).astype(np.float32) + mu
+            padded[0, rr + pad, cc + pad, :] = val_d
+            all_syms.append(sym_d)
+            all_idxs.append(idx_d)
+        return (np.ascontiguousarray(hat), np.concatenate(all_syms),
+                np.concatenate(all_idxs))
+
+
+def compress_ztsep(coder, plane: int, xe, xo_list):
+    """Encode one plane's pyramid: LL and coarsest details via their
+    PixelCNN wavefronts, finer levels via parent+causal context."""
+    from .codec_coder import PlaneStreams
+
+    cfg = coder.cfg
+    L = cfg.dwtlevels
+    walker = ZTSepPlaneCoder(coder, plane)
+
+    def flush(syms, idxs) -> bytes:
+        enc = rans.BufferedRansEncoder()
+        enc.encode_with_indexes(syms, idxs, coder._gc_cdfs,
+                                coder._gc_lengths, coder._gc_offsets)
+        return enc.flush()
+
+    xe_hat, syms, idxs = walker.code("xe", None, np.asarray(xe), None, None)
+    stream_xe = flush(syms, idxs)
+
+    streams_xo: List[bytes] = [b""] * L
+    xo_hats: List[np.ndarray] = [None] * L
+    hat, syms, idxs = walker.code(
+        "coarsest", None, np.asarray(xo_list[L - 1]), None, None)
+    xo_hats[L - 1] = hat
+    streams_xo[L - 1] = flush(syms, idxs)
+    con = hat
+    for i in range(L - 2, -1, -1):
+        hat, syms, idxs = walker.code(
+            "level", i, np.asarray(xo_list[i]), None, None,
+            con=jnp.asarray(con))
+        xo_hats[i] = hat
+        streams_xo[i] = flush(syms, idxs)
+        con = hat
+    return (PlaneStreams(stream_xe, streams_xo), xo_hats, xe_hat, xo_hats)
+
+
+def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
+    cfg = coder.cfg
+    L = cfg.dwtlevels
+    walker = ZTSepPlaneCoder(coder, plane)
+
+    def stream_dec(data: bytes) -> rans.RansDecoder:
+        dec = rans.RansDecoder()
+        dec.set_stream(data)
+        return dec
+
+    xe_hat, _, _ = walker.code("xe", None, None, xe_shape,
+                               stream_dec(streams.xe))
+    xo_hat: List[np.ndarray] = [None] * L
+    xo_hat[L - 1], _, _ = walker.code(
+        "coarsest", None, None, xo_shapes[L - 1],
+        stream_dec(streams.xo[L - 1]))
+    con = xo_hat[L - 1]
+    for i in range(L - 2, -1, -1):
+        xo_hat[i], _, _ = walker.code(
+            "level", i, None, xo_shapes[i], stream_dec(streams.xo[i]),
+            con=jnp.asarray(con))
+        con = xo_hat[i]
+    return xe_hat, xo_hat

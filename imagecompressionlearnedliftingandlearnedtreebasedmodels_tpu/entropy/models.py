@@ -158,6 +158,11 @@ class OnlyEZWT(nn.Module):
             con = upsample2(q)
         return info_xe, info_xo, xe_qnt, xo_qnt
 
+    def level_params_from_parent(self, i: int, parent_hat):
+        """(sigma, mu) for finer level i from the decoded parent details —
+        the coding path's whole-tensor parameter pass (no AR)."""
+        return _split_sigma_mu(self.plc[i](upsample2(parent_hat)))
+
     def aux_loss(self):
         return self.eb_xe.aux_loss() + self.eb_xo.aux_loss()
 
@@ -214,6 +219,40 @@ class ZTSepSubbands(nn.Module):
 
     def xe_params(self, xe_qnt):
         return _split_sigma_mu(self.pixelcnn_xe(xe_qnt))
+
+    # --- coding-path helpers (wavefront decode) -----------------------
+    # The wavefront decoder evaluates context parameters only at the pixels
+    # of the current anti-diagonal: single-conv contexts via 5x5 patches,
+    # 5-layer PixelCNNs via 11x11 patches (exact-center receptive field).
+
+    def plc_params_from_parent(self, i: int, parent_hat):
+        """Whole-plane parent context for finer level i — computed once per
+        level (the parent is fully decoded before the level starts)."""
+        return self.plc[i](upsample2(parent_hat))
+
+    def level_center_params(self, i: int, patches, plc_center):
+        """(sigma, mu) at patch centers for finer level i.
+
+        ``patches``: (n, 5, 5, 3c) causal-context windows from the decoded
+        plane; ``plc_center``: (n, 3c*81) parent context at those pixels.
+        The SAME-padded masked conv's center output on a 5x5 patch equals
+        the full-plane value (full window coverage).
+        """
+        cs = self.csc[i](patches)[:, 2:3, 2:3, :]
+        plc = plc_center[:, None, None, :]
+        fused = self._fuse(plc, cs)
+        p = self.cgp[i](fused)[:, 0, 0, :]
+        return p[..., 0::2], p[..., 1::2]
+
+    def coarsest_center_params(self, patches):
+        """(sigma, mu) at centers of 11x11 patches through the 5-layer
+        coarse-detail PixelCNN (receptive-field radius 5 => exact)."""
+        p = self.pixelcnn_xo(patches)[:, 5, 5, :]
+        return p[..., 0::2], p[..., 1::2]
+
+    def xe_center_params(self, patches):
+        p = self.pixelcnn_xe(patches)[:, 5, 5, :]
+        return p[..., 0::2], p[..., 1::2]
 
     def __call__(self, xe, xo_list, training: bool = True):
         L = self.cfg.dwtlevels
@@ -303,6 +342,14 @@ class ZTBlock(nn.Module):
         sigma = _interleave_cosets(*[self.dep_sigma[idx][k](deps[k])
                                      for k in range(4)])
         return sigma, mu
+
+    def coset_params(self, idx: int, k: int, parent_ch, *prev_cosets):
+        """(sigma, mu) for coset k of dep-net idx, given the parent channel
+        and the k already-decoded cosets — one batched conv pass per coset
+        on the coding path."""
+        dep = (jnp.concatenate([parent_ch, *prev_cosets], axis=-1)
+               if prev_cosets else parent_ch)
+        return self.dep_sigma[idx][k](dep), self.dep_mu[idx][k](dep)
 
     def __call__(self, xe, xo_list, training: bool = True):
         cfg = self.cfg

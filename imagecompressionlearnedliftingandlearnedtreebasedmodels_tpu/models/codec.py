@@ -33,11 +33,24 @@ class LiftingDWTCodec(nn.Module):
         self.entropymodel = make_entropy_model(self.cfg)
 
     def __call__(self, x, training: bool = True):
-        xe, xo_list = self.transform.encode(x)
+        xe, xo_list = self._encode(x, training)
         info_xe, info_xo_list, xe_qnt, xo_qnt = self.entropymodel(
             xe, xo_list, training)
-        xhat = self.transform.decode(xe_qnt, xo_qnt)
+        xhat = self._decode(xe_qnt, xo_qnt, training)
         return xhat, info_xe, info_xo_list
+
+    def _encode(self, x, training: bool):
+        from .transforms import QuincunxLiftingTransform
+        if isinstance(self.transform, QuincunxLiftingTransform):
+            # integer lifting needs the training flag (noisy rounding)
+            return self.transform.encode(x, training)
+        return self.transform.encode(x)
+
+    def _decode(self, xe_qnt, xo_qnt, training: bool):
+        from .transforms import QuincunxLiftingTransform
+        if isinstance(self.transform, QuincunxLiftingTransform):
+            return self.transform.decode(xe_qnt, xo_qnt, training)
+        return self.transform.decode(xe_qnt, xo_qnt)
 
     def encode(self, x):
         return self.transform.encode(x)

@@ -1,0 +1,159 @@
+"""Spatially tiled high-res encode + halo-exchange lifting.
+
+The reference is single-GPU and resolution-agnostic only up to memory
+(SURVEY.md section 5 "long-context" analog). For 2K/4K encode on a mesh this
+module provides two TPU-native mechanisms:
+
+1. **Overlapped tiling** (:func:`tile_image` / :func:`untile_image` /
+   :func:`make_tiled_eval_step`): the image is split along H into
+   per-device tiles with a reconstruction margin sized by the transform's
+   receptive field; tiles run as a sharded batch (pure data parallelism over
+   ICI) and interiors are stitched. Bitstreams become per-tile — the
+   standard codec-tiling trade.
+
+2. **Halo-exchange lifting** (:func:`halo_lift97_rows`): a ``shard_map``
+   implementation of the 9/7 row-lifting ladder for H-sharded arrays where
+   each predict/update step exchanges one boundary row with mesh neighbors
+   via ``jax.lax.ppermute`` — the building block for fully-sharded
+   single-image transforms (collectives ride ICI, no host gathers).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..ops.math_utils import LIFTING_COEFF
+
+ALPHA, BETA, GAMMA, DELTA, NH, NL = LIFTING_COEFF
+
+
+class TileMeta(NamedTuple):
+    n_tiles: int
+    tile_h: int      # interior rows per tile
+    overlap: int     # margin rows on each side (multiple of 2^levels)
+    height: int
+    width: int
+
+
+def reconstruction_margin(cfg: Config) -> int:
+    """Rows of context a tile needs so its interior reconstruction matches
+    the untiled transform: per level, the lifting ladder + P/U convs reach
+    ~2 + filtersize//2 rows at that level's resolution; compounding over
+    levels gives margin ~ 2^levels * (filtersize + 4), rounded up to a
+    multiple of 2^levels."""
+    unit = 2 ** cfg.dwtlevels
+    need = unit * (cfg.filtersize + 4)
+    return ((need + unit - 1) // unit) * unit
+
+
+def tile_image(x: np.ndarray, n_tiles: int, overlap: int
+               ) -> Tuple[np.ndarray, TileMeta]:
+    """(1, H, W, C) -> (n_tiles, tile_h + 2*overlap, W, C) with edge
+    padding at the outer borders. H must divide by n_tiles."""
+    _, h, w, c = x.shape
+    assert h % n_tiles == 0, f"H={h} must divide into {n_tiles} tiles"
+    tile_h = h // n_tiles
+    padded = np.pad(x, ((0, 0), (overlap, overlap), (0, 0), (0, 0)),
+                    mode="edge")
+    tiles = np.stack([
+        padded[0, i * tile_h: i * tile_h + tile_h + 2 * overlap]
+        for i in range(n_tiles)])
+    return tiles, TileMeta(n_tiles, tile_h, overlap, h, w)
+
+
+def untile_image(tiles: np.ndarray, meta: TileMeta) -> np.ndarray:
+    """Discard margins and stitch interiors back to (1, H, W, C)."""
+    o = meta.overlap
+    parts = [tiles[i, o: o + meta.tile_h] for i in range(meta.n_tiles)]
+    return np.concatenate(parts, axis=0)[None]
+
+
+def make_tiled_eval_step(cfg: Config, model, mesh: Mesh):
+    """Eval forward over a tile batch sharded across the mesh."""
+    from ..train.state import make_eval_step
+
+    base = make_eval_step(cfg, model)
+    tile_sharding = NamedSharding(mesh, P("data"))
+
+    def tiled_step(params, tiles):
+        tiles = jax.device_put(tiles, tile_sharding)
+        return base(params, tiles)
+
+    return tiled_step
+
+
+def tiled_forward(cfg: Config, model, params, x: np.ndarray, mesh: Mesh):
+    """Full tiled surrogate encode+decode of one high-res image: tile,
+    shard over the mesh, forward, stitch. Returns the stitched
+    reconstruction in [0, 1]."""
+    from ..train.state import apply_color_forward
+
+    n = int(np.prod(mesh.devices.shape))
+    overlap = reconstruction_margin(cfg)
+    tiles, meta = tile_image(x, n, overlap)
+    tile_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def fwd(params, tiles):
+        _, xhat, _, _ = apply_color_forward(
+            cfg, model, params, tiles, False, None)
+        return jnp.clip(xhat, -0.5, 0.5) + 0.5
+
+    xhat_tiles = np.asarray(fwd(params, jax.device_put(tiles, tile_sharding)))
+    return untile_image(xhat_tiles, meta)
+
+
+def halo_lift97_rows(x, mesh: Mesh, axis: str = "data"):
+    """9/7 row-lifting of an H-sharded NHWC array via shard_map + ppermute.
+
+    Each device holds a contiguous row block (local H must be even). Every
+    predict/update step needs one neighbor row across the block boundary:
+    predict reads the next even row (from the lower neighbor), update reads
+    the previous odd row (from the upper neighbor). Those single rows travel
+    by ring ``ppermute`` over ICI — and the ring wraparound realizes exactly
+    the periodization boundary of :mod:`..ops.dwt97`, so the sharded result
+    is bit-comparable to the single-chip ladder.
+
+    Returns (low, high), each sharded with half the local rows.
+    """
+    from jax import shard_map
+
+    n_dev = mesh.devices.size
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]   # send to next
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]     # send to prev
+
+    def next_first_row(arr):
+        """First row of the next device's block (periodic ring)."""
+        return jax.lax.ppermute(arr[:, :1], axis, up)
+
+    def prev_last_row(arr):
+        """Last row of the previous device's block (periodic ring)."""
+        return jax.lax.ppermute(arr[:, -1:], axis, down)
+
+    def local_lift(xb):
+        s = xb[:, 0::2]
+        d = xb[:, 1::2]
+
+        def predict(s, d, coeff):
+            s_next = jnp.concatenate([s[:, 1:], next_first_row(s)], axis=1)
+            return d + coeff * (s + s_next)
+
+        def update(s, d, coeff):
+            d_prev = jnp.concatenate([prev_last_row(d), d[:, :-1]], axis=1)
+            return s + coeff * (d_prev + d)
+
+        d = predict(s, d, ALPHA)
+        s = update(s, d, BETA)
+        d = predict(s, d, GAMMA)
+        s = update(s, d, DELTA)
+        return s * NL, d * NH
+
+    spec = P(None, axis)
+    return shard_map(local_lift, mesh=mesh, in_specs=(spec,),
+                     out_specs=(spec, spec))(x)

@@ -1,0 +1,92 @@
+"""Tiled high-res encode + halo-exchange sharded lifting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.models.codec import (
+    CodecWrapper)
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops import dwt97
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.parallel import (
+    mesh as mesh_lib, tiling)
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+    init_state)
+
+
+def test_tile_untile_identity():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 16, 3).astype(np.float32)
+    tiles, meta = tiling.tile_image(x, 4, overlap=8)
+    assert tiles.shape == (4, 32, 16, 3)
+    np.testing.assert_array_equal(tiling.untile_image(tiles, meta), x)
+
+
+def test_halo_lift_matches_single_chip_ladder():
+    """H-sharded shard_map ladder == the single-chip periodic ladder."""
+    mesh = mesh_lib.make_mesh(8)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 64, 8, 2).astype(np.float32))
+    low_ref, high_ref = dwt97.lift97_1d(x, axis=1)
+    low_sh, high_sh = tiling.halo_lift97_rows(x, mesh)
+    np.testing.assert_allclose(np.asarray(low_sh), np.asarray(low_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(high_sh), np.asarray(high_ref),
+                               atol=1e-5)
+
+
+def test_tiled_forward_matches_untiled_interior():
+    """Tiled surrogate codec == untiled codec away from tile seams
+    (CDF97 + factorized: receptive field bounded by the margin)."""
+    cfg = Config(netType="CDF97", entropy_layer="factorized",
+                 autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=2,
+                 filtersize=5, lambda_=100.0)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 256, 64, 3).astype(np.float32)
+
+    mesh = mesh_lib.make_mesh(4)
+    tiled = tiling.tiled_forward(cfg, model, state.params, x, mesh)
+    assert tiled.shape == x.shape
+
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+        apply_color_forward)
+
+    @jax.jit
+    def full(params, batch):
+        _, xhat, _, _ = apply_color_forward(cfg, model, params, batch,
+                                            False, None)
+        return jnp.clip(xhat, -0.5, 0.5) + 0.5
+
+    ref = np.asarray(full(state.params, jnp.asarray(x)))
+    # Through the quantizer, isolated rounding flips are expected (tiny
+    # float differences from different tile shapes flip round() decisions),
+    # so compare distributions: overwhelming pixel agreement + close MSE.
+    close = np.isclose(tiled, ref, atol=2e-3).mean()
+    assert close > 0.95, f"only {close:.2%} of pixels match"
+    mse_t = np.mean((tiled - x) ** 2)
+    mse_r = np.mean((ref - x) ** 2)
+    assert mse_t < mse_r * 1.3 + 1e-6
+
+    # pre-quantization analysis subbands must match EXACTLY in interiors
+    o = tiling.reconstruction_margin(cfg)
+    tiles, meta = tiling.tile_image(x, 4, o)
+
+    @jax.jit
+    def analyze(params, batch):
+        fn = lambda m, v: m.codec.transform.encode(v)  # noqa: E731
+        return model.apply({"params": params}, batch - 0.5, method=fn)
+
+    xe_full, xo_full = analyze(state.params, jnp.asarray(x))
+    xe_t, xo_t = analyze(state.params, jnp.asarray(tiles))
+    lvl = 0  # finest detail level, stride 2
+    stride = 2
+    o_l = o // stride
+    th_l = meta.tile_h // stride
+    for t in range(4):
+        interior = np.asarray(xo_t[lvl][t, o_l + 4: o_l + th_l - 4])
+        ref_rows = np.asarray(
+            xo_full[lvl][0, t * th_l + 4: (t + 1) * th_l - 4])
+        np.testing.assert_allclose(interior, ref_rows, atol=1e-4)

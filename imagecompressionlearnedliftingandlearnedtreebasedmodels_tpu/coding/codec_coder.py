@@ -64,56 +64,69 @@ class CodecCoder:
 
     def __init__(self, cfg: Config, model, params):
         self.cfg = cfg
-        self.model = model
+        self.model = model  # CodecWrapper (kept for API symmetry)
         self.params = params
         self.n_planes = 1 if cfg.clrch == 3 else 3
         self._gc_cdfs, self._gc_lengths, self._gc_offsets = _gc_tables()
         self._jit_cache: Dict = {}
         self._eb_tables: Dict = {}
+        # A bare single-plane codec module: the wrapper stacks per-plane
+        # params with a leading axis (vmap); the coder slices out one
+        # plane's tree and applies this module directly.
+        from ..models.codec import LiftingDWTCodec
+        self._plane_codec = LiftingDWTCodec(cfg)
+        self._plane_params_cache: Dict[int, dict] = {}
 
     # --- module access ------------------------------------------------
-    def _plane_module(self, m, plane: int):
-        return m.codec if self.cfg.clrch == 3 else m.codecs[plane]
+    def _plane_params(self, plane: int):
+        if plane not in self._plane_params_cache:
+            if self.cfg.clrch == 3:
+                tree = self.params["codec"]
+            else:
+                tree = self.params[f"codecs_{plane}"]
+            self._plane_params_cache[plane] = tree
+        return self._plane_params_cache[plane]
 
     def _jit(self, key, fn):
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                lambda params, *args: self.model.apply(
+                lambda params, *args: self._plane_codec.apply(
                     {"params": params}, *args, method=fn))
         return self._jit_cache[key]
 
     def _analysis(self, plane: int):
-        return self._jit(("enc", plane), lambda m, x: self._plane_module(
-            m, plane).transform.encode(x))
+        fn = self._jit(("enc",), lambda m, x: m.transform.encode(x))
+        return lambda _params, x: fn(self._plane_params(plane), x)
 
     def _synthesis(self, plane: int):
-        return self._jit(("dec", plane), lambda m, xe, xo: self._plane_module(
-            m, plane).transform.decode(xe, list(xo)))
+        fn = self._jit(("dec",),
+                       lambda m, xe, xo: m.transform.decode(xe, list(xo)))
+        return lambda _params, xe, xo: fn(self._plane_params(plane), xe, xo)
 
     def _entropy_method(self, plane: int, name: str, *static):
         """Jitted entropy-model method with Python-level static leading args
         (level / dep-net / coset indices select submodules, so they must be
-        baked into the trace, one compiled fn per combination)."""
-        key = (name, plane) + static
+        baked into the trace; planes share the compiled fn)."""
+        key = (name,) + static
 
         def fn(m, *args):
-            return getattr(self._plane_module(m, plane).entropymodel,
-                           name)(*static, *args)
-        return self._jit(key, fn)
+            return getattr(m.entropymodel, name)(*static, *args)
+        jitted = self._jit(key, fn)
+        return lambda _params, *args: jitted(self._plane_params(plane), *args)
 
     # --- EB (factorized bottleneck) coding ----------------------------
     def _eb_table(self, plane: int, attr: str, index: Optional[int] = None):
         key = (plane, attr, index)
         if key not in self._eb_tables:
             def fn(m):
-                em = self._plane_module(m, plane).entropymodel
-                eb = getattr(em, attr)
+                eb = getattr(m.entropymodel, attr)
                 if index is not None:
                     eb = eb[index]
                 pmf, tail, length, offset = eb.pmf_table()
                 return pmf, tail, length, offset, eb.medians()
             pmf, tail, length, offset, med = jax.device_get(
-                self.model.apply({"params": self.params}, method=fn))
+                self._plane_codec.apply(
+                    {"params": self._plane_params(plane)}, method=fn))
             cdfs, lengths = rans.build_cdf_matrix(
                 np.asarray(pmf), np.asarray(tail), np.asarray(length))
             self._eb_tables[key] = (cdfs, lengths,

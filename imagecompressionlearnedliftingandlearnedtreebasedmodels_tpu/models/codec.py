@@ -63,7 +63,17 @@ class LiftingDWTCodec(nn.Module):
 
 
 class CodecWrapper(nn.Module):
-    """Color-policy wrapper: 1 joint-RGB codec or 3 per-plane codecs."""
+    """Color-policy wrapper: 1 joint-RGB codec or 3 per-plane codecs
+    (reference ``LiftingBasedDWTNetWrapper``, ``LiftingBasedDWT_net.py:35-99``).
+
+    The three YCbCr codecs run sequentially inside one jit, like the
+    reference's three models. (A vmapped-over-planes variant was measured
+    6x SLOWER on TPU: per-plane weights make every conv a batched-kernel
+    conv that XLA cannot map to a single MXU convolution, so the sequential
+    form — three dense convs — wins.)
+
+    ``__call__`` returns ``(xhat, info_xe, info_xo_list, aux_loss)``.
+    """
 
     cfg: Config
 
@@ -75,16 +85,13 @@ class CodecWrapper(nn.Module):
 
     def __call__(self, x, training: bool = True):
         if self.cfg.clrch == 3:
-            return self.codec(x, training)
+            xhat, info_xe, info_xo = self.codec(x, training)
+            return xhat, info_xe, info_xo, self.codec.aux_loss()
         outs = [self.codecs[i](x[..., i:i + 1], training) for i in range(3)]
         xhat = jnp.concatenate([o[0] for o in outs], axis=-1)
         info_xe = jnp.concatenate([o[1] for o in outs], axis=-1)
         info_xo_list: List = []
         for o in outs:
             info_xo_list.extend(o[2])
-        return xhat, info_xe, info_xo_list
-
-    def aux_loss(self):
-        if self.cfg.clrch == 3:
-            return self.codec.aux_loss()
-        return sum(c.aux_loss() for c in self.codecs)
+        aux = sum(c.aux_loss() for c in self.codecs)
+        return xhat, info_xe, info_xo_list, aux

@@ -101,7 +101,7 @@ def tiled_forward(cfg: Config, model, params, x: np.ndarray, mesh: Mesh):
 
     @jax.jit
     def fwd(params, tiles):
-        _, xhat, _, _ = apply_color_forward(
+        _, xhat, _, _, _ = apply_color_forward(
             cfg, model, params, tiles, False, None)
         return jnp.clip(xhat, -0.5, 0.5) + 0.5
 

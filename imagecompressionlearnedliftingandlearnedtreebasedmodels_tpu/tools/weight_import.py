@@ -1,0 +1,244 @@
+"""Import reference PyTorch checkpoints into this framework's params.
+
+The reference distributes pretrained weights as ``.pth.tar`` checkpoints
+whose ``state_dict`` follows ``LiftingBasedDWTNetWrapper`` naming
+(``agents/base.py:97-110``; ``weight_links.txt``). This tool maps those
+tensors onto our flax param tree for numerical cross-checks.
+
+Supported surfaces: netType CDF97 / LiftingBasedNeuralWaveletv4, entropy
+factorized / onlyEZWT / conditioned2ZTsepSubbands, both subband AEs, and
+the EntropyBottleneck internals. Unknown keys are reported, never silently
+dropped.
+
+Layout conventions:
+- torch Conv2d weight (O, I/g, kh, kw)      -> flax kernel (kh, kw, I/g, O)
+- torch ConvTranspose2d weight (I, O/g, kh, kw), for the 1x1 stride-1 AEs
+  equivalent to a conv with swapped channel axes -> (kh, kw, I/g, O) after
+  role swap
+- compressai GDN beta/gamma are stored in reparametrized (sqrt+pedestal)
+  space, the same convention as ours -> direct copy
+- EntropyBottleneck ``_matrix{i}/_bias{i}/_factor{i}/quantiles`` -> direct
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..config import Config
+
+
+def _conv_w(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _convT_w(w) -> np.ndarray:
+    # (I, O/g, kh, kw) -> (kh, kw, I, O); for the 1x1 grouped AEs the
+    # spatial flip is a no-op
+    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+
+
+def _set(tree: dict, path: str, value: np.ndarray, strict_shape=True):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    old = node[keys[-1]]
+    if strict_shape and tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {path}: have {tuple(old.shape)}, "
+            f"checkpoint gives {tuple(value.shape)}")
+    node[keys[-1]] = value.astype(np.float32)
+
+
+def _ae_entries(prefix: str, dst: str, berk: bool) -> List[Tuple[str, str, str]]:
+    """(torch_key, flax_path, kind) for one subband AE."""
+    out = []
+    if berk:  # Sequential(conv, GDN, conv, GDN, conv, GDN, conv)
+        for j, idx in enumerate((0, 2, 4, 6)):
+            out.append((f"{prefix}.ae_down.{idx}.weight",
+                        f"{dst}/down_{j}/kernel", "conv"))
+            out.append((f"{prefix}.ae_down.{idx}.bias",
+                        f"{dst}/down_{j}/bias", "raw"))
+            out.append((f"{prefix}.ae_up.{idx}.weight",
+                        f"{dst}/up_{j}/kernel", "convT"))
+            out.append((f"{prefix}.ae_up.{idx}.bias",
+                        f"{dst}/up_{j}/bias", "raw"))
+        for j, idx in enumerate((1, 3, 5)):
+            for side in ("down", "up"):
+                out.append((f"{prefix}.ae_{side}.{idx}.beta",
+                            f"{dst}/{side}_gdn_{j}/beta", "raw"))
+                out.append((f"{prefix}.ae_{side}.{idx}.gamma",
+                            f"{dst}/{side}_gdn_{j}/gamma", "raw"))
+    else:     # Sequential(conv, Tanh, conv, Tanh, conv, Tanh, conv)
+        for j, idx in enumerate((0, 2, 4, 6)):
+            out.append((f"{prefix}.ae_down.{idx}.weight",
+                        f"{dst}/down_{j}/kernel", "conv"))
+            out.append((f"{prefix}.ae_down.{idx}.bias",
+                        f"{dst}/down_{j}/bias", "raw"))
+            out.append((f"{prefix}.ae_up.{idx}.weight",
+                        f"{dst}/up_{j}/kernel", "convT"))
+            out.append((f"{prefix}.ae_up.{idx}.bias",
+                        f"{dst}/up_{j}/bias", "raw"))
+    return out
+
+
+def _eb_entries(prefix: str, dst: str, n_filters: int = 4):
+    out = []
+    for i in range(n_filters + 1):
+        out.append((f"{prefix}._matrix{i}", f"{dst}/matrix_{i}", "raw"))
+        out.append((f"{prefix}._bias{i}", f"{dst}/bias_{i}", "raw"))
+        if i < n_filters:
+            out.append((f"{prefix}._factor{i}", f"{dst}/factor_{i}", "raw"))
+    out.append((f"{prefix}.quantiles", f"{dst}/quantiles", "raw"))
+    return out
+
+
+def build_mapping(cfg: Config) -> List[Tuple[str, str, str]]:
+    """All (torch_key, flax_path, kind) pairs for this config."""
+    entries: List[Tuple[str, str, str]] = []
+    planes = (["model"] if cfg.clrch == 3
+              else [f"model{i}" for i in range(3)])
+    dsts = (["codec"] if cfg.clrch == 3
+            else [f"codecs_{i}" for i in range(3)])
+    berk = cfg.autoencoder == "SubbandAutoEncoderBerk"
+    L = cfg.dwtlevels
+    for src, dst in zip(planes, dsts):
+        # --- transform --------------------------------------------------
+        if cfg.autoencoder != "none":
+            entries += _ae_entries(f"{src}.autoencoder.Yl_ae",
+                                   f"{dst}/transform/yl_ae", berk)
+            for i in range(L):
+                entries += _ae_entries(f"{src}.autoencoder.Yh_ae.{i}",
+                                       f"{dst}/transform/yh_ae_{i}", berk)
+        if cfg.netType == "LiftingBasedNeuralWaveletv4":
+            n_stages = 1 if cfg.block_property == "same" else L
+            pairs = cfg.num_lifting_perlayer
+            for s in range(n_stages):
+                for k in range(pairs):
+                    for blk, mine in (("P_blocks", "p_blocks"),
+                                      ("U_blocks", "u_blocks")):
+                        tk = s * pairs + k
+                        for c in range(4):
+                            entries.append((
+                                f"{src}.autoencoder.{blk}.{tk}.conv{c + 1}.weight",
+                                f"{dst}/transform/stages_{s}/{mine}_{k}"
+                                f"/Conv_{c}/kernel", "conv"))
+                            entries.append((
+                                f"{src}.autoencoder.{blk}.{tk}.conv{c + 1}.bias",
+                                f"{dst}/transform/stages_{s}/{mine}_{k}"
+                                f"/Conv_{c}/bias", "raw"))
+                for j in range(2 * pairs):
+                    entries.append((
+                        f"{src}.autoencoder.preProcessingList.{j}.weight",
+                        f"{dst}/transform/stages_{s}/skips_{j}/taps",
+                        "skip"))
+                if cfg.scale:
+                    entries.append((f"{src}.autoencoder.nh",
+                                    f"{dst}/transform/stages_{s}/nh", "flat1"))
+                    entries.append((f"{src}.autoencoder.nl",
+                                    f"{dst}/transform/stages_{s}/nl", "flat1"))
+        # --- entropy model ----------------------------------------------
+        em = f"{src}.entropymodel"
+        de = f"{dst}/entropymodel"
+        if cfg.entropy_layer == "factorized":
+            entries += _eb_entries(f"{em}.ent_out_xe", f"{de}/eb_xe")
+            for i in range(L):
+                entries += _eb_entries(f"{em}.ent_out_xo_list.{i}",
+                                       f"{de}/eb_xo_{i}")
+        elif cfg.entropy_layer == "onlyEZWT":
+            entries += _eb_entries(f"{em}.ent_out_xe", f"{de}/eb_xe")
+            entries += _eb_entries(f"{em}.ent_out_xo", f"{de}/eb_xo")
+            for i in range(L - 1):
+                for j, idx in enumerate((0, 2, 4)):
+                    entries.append((f"{em}.plc_list.{i}.{idx}.weight",
+                                    f"{de}/plc_{i}/Conv_{j}/kernel", "conv"))
+                    entries.append((f"{em}.plc_list.{i}.{idx}.bias",
+                                    f"{de}/plc_{i}/Conv_{j}/bias", "raw"))
+        elif cfg.entropy_layer == "conditioned2ZTsepSubbands":
+            for i in range(L - 1):
+                for j, idx in enumerate((0, 2)):
+                    entries.append((f"{em}.plc_list.{i}.{idx}.weight",
+                                    f"{de}/plc_{i}/Conv_{j}/kernel", "conv"))
+                    entries.append((f"{em}.plc_list.{i}.{idx}.bias",
+                                    f"{de}/plc_{i}/Conv_{j}/bias", "raw"))
+                entries.append((f"{em}.csc_list.{i}.weight",
+                                f"{de}/csc_{i}/kernel", "conv"))
+                entries.append((f"{em}.csc_list.{i}.bias",
+                                f"{de}/csc_{i}/bias", "raw"))
+                for j, idx in enumerate((0, 2, 4, 6)):
+                    entries.append((
+                        f"{em}.cgp_out_xo_list.{i}.{idx}.weight",
+                        f"{de}/cgp_{i}/Conv_{j}/kernel", "conv"))
+                    entries.append((
+                        f"{em}.cgp_out_xo_list.{i}.{idx}.bias",
+                        f"{de}/cgp_{i}/Conv_{j}/bias", "raw"))
+            for j, idx in enumerate((0, 2, 4, 6, 8)):
+                entries.append((
+                    f"{em}.csc_list.{L - 1}.{idx}.weight",
+                    f"{de}/pixelcnn_xo/MaskedConv2d_{j}/kernel", "conv"))
+                entries.append((
+                    f"{em}.csc_list.{L - 1}.{idx}.bias",
+                    f"{de}/pixelcnn_xo/MaskedConv2d_{j}/bias", "raw"))
+                entries.append((
+                    f"{em}.csc_xe.{idx}.weight",
+                    f"{de}/pixelcnn_xe/MaskedConv2d_{j}/kernel", "conv"))
+                entries.append((
+                    f"{em}.csc_xe.{idx}.bias",
+                    f"{de}/pixelcnn_xe/MaskedConv2d_{j}/bias", "raw"))
+    return entries
+
+
+_SKIP_SUBSTRINGS = (".mask", "._offset", "._quantized_cdf", "._cdf_length",
+                    ".target", "scale_table", ".scl_", ".scb_")
+
+
+def import_state_dict(cfg: Config, params, state_dict: Dict) -> Tuple[dict, List[str]]:
+    """Map a reference ``state_dict`` onto a (copied) flax param tree.
+
+    Returns ``(new_params, unmatched_torch_keys)``.
+    """
+    import jax
+
+    tree = jax.tree_util.tree_map(np.asarray, params)
+    # unfreeze into plain dicts for mutation
+    def to_dict(t):
+        if isinstance(t, dict):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+    tree = to_dict(tree)
+
+    used = set()
+    for torch_key, flax_path, kind in build_mapping(cfg):
+        if torch_key not in state_dict:
+            continue
+        w = np.asarray(state_dict[torch_key])
+        if kind == "conv":
+            w = _conv_w(w)
+        elif kind == "convT":
+            w = _convT_w(w)
+        elif kind == "skip":      # (1,1,3,1) fixed conv -> (3, C) taps
+            taps = w.reshape(3)
+            c = 1 if cfg.clrch == 1 else cfg.clrch
+            w = np.tile(taps[:, None], (1, c))
+        elif kind == "flat1":     # (1,1,1,1) -> (1,)
+            w = w.reshape(1)
+        _set(tree, flax_path, w)
+        used.add(torch_key)
+
+    unmatched = [k for k in state_dict
+                 if k not in used
+                 and not any(s in k for s in _SKIP_SUBSTRINGS)]
+    return tree, unmatched
+
+
+def load_reference_checkpoint(path: str) -> Dict:
+    """Load a reference ``.pth.tar`` (torch cpu) and return its state_dict
+    as numpy arrays."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}

@@ -26,7 +26,7 @@ def make_postprocess_train_step(cfg: Config, codec_model, pp_model, tx):
     @jax.jit
     def step(codec_params, pp_variables, opt_state, batch, rng, lr):
         def loss_fn(pp_params):
-            xs, xhat, info_xe, info_xo = apply_color_forward(
+            xs, xhat, info_xe, info_xo, _ = apply_color_forward(
                 cfg, codec_model, codec_params, batch, True, rng)
             xhat = jax.lax.stop_gradient(xhat)  # codec frozen
             restored, updates = pp_model.apply(
@@ -53,7 +53,7 @@ def make_postprocess_train_step(cfg: Config, codec_model, pp_model, tx):
 def make_postprocess_eval_step(cfg: Config, codec_model, pp_model):
     @jax.jit
     def step(codec_params, pp_variables, batch):
-        xs, xhat, info_xe, info_xo = apply_color_forward(
+        xs, xhat, info_xe, info_xo, _ = apply_color_forward(
             cfg, codec_model, codec_params, batch, False, None)
         restored = pp_model.apply(pp_variables, xhat + 0.5, False) - 0.5
         restored = jnp.clip(restored, -0.5, 0.5)

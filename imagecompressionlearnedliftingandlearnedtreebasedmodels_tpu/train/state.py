@@ -49,21 +49,21 @@ def init_state(cfg: Config, model, sample_batch, rng) -> TrainState:
 def apply_color_forward(cfg: Config, model, params, x, training, rng):
     """Color policy + model forward; x is NHWC RGB in [0,1].
 
-    Returns shifted (x', xhat') in [-0.5, 0.5] plus the info tensors, exactly
-    mirroring the reference's pre/post handling
-    (``agents/liftingDWT_agent.py:80-94``).
+    Returns shifted (x', xhat') in [-0.5, 0.5] plus the info tensors and the
+    aggregated aux (quantile) loss, mirroring the reference's pre/post
+    handling (``agents/liftingDWT_agent.py:80-94``).
     """
     rngs = {"noise": rng} if training else None
     if cfg.clrch == 3:
         xs = x - 0.5
-        xhat, info_xe, info_xo = model.apply(
+        xhat, info_xe, info_xo, aux = model.apply(
             {"params": params}, xs, training, rngs=rngs)
-        return xs, xhat, info_xe, info_xo
+        return xs, xhat, info_xe, info_xo, aux
     y = color.shift_ycbcr(color.rgb_to_ycbcr(x))
-    yhat, info_xe, info_xo = model.apply(
+    yhat, info_xe, info_xo, aux = model.apply(
         {"params": params}, y, training, rngs=rngs)
     xhat = color.ycbcr_to_rgb(color.unshift_ycbcr(yhat))
-    return x - 0.5, xhat - 0.5, info_xe, info_xo
+    return x - 0.5, xhat - 0.5, info_xe, info_xo, aux
 
 
 def make_train_step(cfg: Config, model, tx):
@@ -83,11 +83,10 @@ def make_train_step(cfg: Config, model, tx):
     def train_step(state: TrainState, batch, rng, lr, rate_weight
                    ) -> Tuple[TrainState, RDLossOutput, jnp.ndarray]:
         def loss_fn(params):
-            xs, xhat, info_xe, info_xo = apply_color_forward(
+            xs, xhat, info_xe, info_xo, aux = apply_color_forward(
                 cfg, model, params, batch, True, rng)
             out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
                            rate_weight)
-            aux = model.apply({"params": params}, method="aux_loss")
             return (out.loss + aux) * loss_scale, (out, aux)
 
         grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -107,7 +106,7 @@ def make_eval_step(cfg: Config, model):
 
     @jax.jit
     def eval_step(params, batch) -> RDLossOutput:
-        xs, xhat, info_xe, info_xo = apply_color_forward(
+        xs, xhat, info_xe, info_xo, _ = apply_color_forward(
             cfg, model, params, batch, False, None)
         xhat = jnp.clip(xhat, -0.5, 0.5)
         return rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_, 1.0)

@@ -56,8 +56,8 @@ def test_tiled_forward_matches_untiled_interior():
 
     @jax.jit
     def full(params, batch):
-        _, xhat, _, _ = apply_color_forward(cfg, model, params, batch,
-                                            False, None)
+        _, xhat, _, _, _ = apply_color_forward(cfg, model, params, batch,
+                                               False, None)
         return jnp.clip(xhat, -0.5, 0.5) + 0.5
 
     ref = np.asarray(full(state.params, jnp.asarray(x)))

@@ -219,3 +219,16 @@ def expand_sweep(cfg: Config, experiments_root: str = "experiments") -> List[Con
 
 def to_json(cfg: Config) -> str:
     return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def compute_dtype(cfg: Config):
+    """Compute dtype for the heavy conv stacks (params stay fp32).
+
+    bf16 keeps the lifting transform exactly invertible — inversion
+    subtracts the *same deterministic* P/U outputs — while doubling MXU
+    rate; the entropy/quantization arithmetic stays fp32.
+    """
+    if cfg.dtype == "bfloat16":
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None

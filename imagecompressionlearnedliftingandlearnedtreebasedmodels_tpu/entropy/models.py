@@ -35,7 +35,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import Config
+from ..config import Config, compute_dtype
 from ..ops.masked_conv import MaskedConv2d
 from ..ops.math_utils import quantize_dequantize, quantize_noise
 from . import gaussian
@@ -63,20 +63,21 @@ def _quantize_ctx(x, training: bool, rng):
 
 
 class _ConvStack(nn.Module):
-    """Conv -> LReLU -> ... -> Conv, SAME padding."""
+    """Conv -> LReLU -> ... -> Conv, SAME padding (fp32 output)."""
 
     features: Sequence[int]
     kernels: Sequence[int]
     groups: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for i, (f, k) in enumerate(zip(self.features, self.kernels)):
-            x = nn.Conv(f, (k, k), padding="SAME",
+            x = nn.Conv(f, (k, k), padding="SAME", dtype=self.dtype,
                         feature_group_count=self.groups)(x)
             if i < len(self.features) - 1:
                 x = nn.leaky_relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class _MaskedPixelCNN(nn.Module):
@@ -85,6 +86,7 @@ class _MaskedPixelCNN(nn.Module):
 
     in_ch: int
     kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -94,10 +96,10 @@ class _MaskedPixelCNN(nn.Module):
         for i, f in enumerate(feats):
             mask = "A" if i == 0 else "B"
             x = MaskedConv2d(f, (self.kernel, self.kernel), mask_type=mask,
-                             feature_group_count=ic)(x)
+                             feature_group_count=ic, dtype=self.dtype)(x)
             if i < len(feats) - 1:
                 x = nn.leaky_relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class FactorizedEntropy(nn.Module):
@@ -181,21 +183,23 @@ class ZTSepSubbands(nn.Module):
     def setup(self):
         c = self.cfg.clrch
         L = self.cfg.dwtlevels
+        dt = compute_dtype(self.cfg)
         so = 3 * c
         wide = so * 81
         self.plc = [
-            _ConvStack(features=(wide, wide), kernels=(3, 3))
+            _ConvStack(features=(wide, wide), kernels=(3, 3), dtype=dt)
             for _ in range(L - 1)]
         self.csc = [
-            MaskedConv2d(wide, (5, 5), mask_type="A", feature_group_count=so)
+            MaskedConv2d(wide, (5, 5), mask_type="A", feature_group_count=so,
+                         dtype=dt)
             for _ in range(L - 1)]
         fused = 2 * wide
         self.cgp = [
             _ConvStack(features=(fused, fused // 3, fused // 9, 2 * so),
-                       kernels=(1, 1, 1, 1), groups=so)
+                       kernels=(1, 1, 1, 1), groups=so, dtype=dt)
             for _ in range(L - 1)]
-        self.pixelcnn_xo = _MaskedPixelCNN(in_ch=so, kernel=3)
-        self.pixelcnn_xe = _MaskedPixelCNN(in_ch=c, kernel=3)
+        self.pixelcnn_xo = _MaskedPixelCNN(in_ch=so, kernel=3, dtype=dt)
+        self.pixelcnn_xe = _MaskedPixelCNN(in_ch=c, kernel=3, dtype=dt)
 
     def _fuse(self, plc_params, csc_params):
         """Interleave per-subband 81-channel blocks: (plc_g, csc_g) pairs so

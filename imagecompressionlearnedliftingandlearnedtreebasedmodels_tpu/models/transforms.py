@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import Config
+from ..config import Config, compute_dtype
 from ..ops import dwt97
 from ..ops.gdn import GDN
 from ..ops.lifting import LiftStage, lift_level_forward, lift_level_inverse
@@ -35,8 +35,9 @@ class CDF97Transform(nn.Module):
 
     def setup(self):
         c = self.cfg.clrch
-        self.yl_ae = make_subband_ae(self.cfg.autoencoder, 1 * c)
-        self.yh_ae = [make_subband_ae(self.cfg.autoencoder, 3 * c)
+        dt = compute_dtype(self.cfg)
+        self.yl_ae = make_subband_ae(self.cfg.autoencoder, 1 * c, dt)
+        self.yh_ae = [make_subband_ae(self.cfg.autoencoder, 3 * c, dt)
                       for _ in range(self.cfg.dwtlevels)]
 
     def encode(self, x):
@@ -73,6 +74,7 @@ class LearnedLiftingTransform(nn.Module):
         c = cfg.clrch
         hidden = cfg.depth_scale * 8 * c  # lifting_dwt_nets.py:663 + P_block_v2
         num_stages = 1 if cfg.block_property == "same" else cfg.dwtlevels
+        dt = compute_dtype(cfg)
         self.stages = [
             LiftStage(
                 channels=c,
@@ -82,10 +84,11 @@ class LearnedLiftingTransform(nn.Module):
                 nonlinear=bool(cfg.linearity_flag),
                 res_weight=cfg.res_connection_weight,
                 use_scale=bool(cfg.scale),
+                dtype=dt,
             )
             for _ in range(num_stages)]
-        self.yl_ae = make_subband_ae(cfg.autoencoder, 1 * c)
-        self.yh_ae = [make_subband_ae(cfg.autoencoder, 3 * c)
+        self.yl_ae = make_subband_ae(cfg.autoencoder, 1 * c, dt)
+        self.yh_ae = [make_subband_ae(cfg.autoencoder, 3 * c, dt)
                       for _ in range(cfg.dwtlevels)]
 
     def _stage(self, level: int) -> LiftStage:

@@ -25,6 +25,7 @@ class GDN(nn.Module):
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
+    dtype: object = None  # compute dtype for the channel matmul (bf16 ok)
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +41,9 @@ class GDN(nn.Module):
         gamma = lower_bound(gamma_reparam, gamma_bound) ** 2 - nnp_pedestal()
 
         # norm_i = beta_i + sum_j gamma_ij x_j^2  — channel-axis matmul (MXU)
-        norm = jnp.einsum("...j,ij->...i", x * x, gamma) + beta
+        xc = x.astype(self.dtype) if self.dtype is not None else x
+        gc = gamma.astype(self.dtype) if self.dtype is not None else gamma
+        norm = jnp.einsum("...j,ij->...i", xc * xc, gc,
+                          preferred_element_type=jnp.float32) + beta
         norm = jnp.sqrt(norm)
         return x * norm if self.inverse else x / norm

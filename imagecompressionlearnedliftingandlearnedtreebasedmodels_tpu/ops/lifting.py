@@ -59,18 +59,22 @@ class PBlock(nn.Module):
     hidden: int
     filtersize: int = 5
     nonlinear: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         k = (self.filtersize, self.filtersize)
-        out_res = nn.Conv(self.hidden, k, padding="SAME")(x)
+        conv = lambda f: nn.Conv(f, k, padding="SAME",  # noqa: E731
+                                 dtype=self.dtype)
+        out_res = conv(self.hidden)(x)
         t = jnp.tanh(out_res) if self.nonlinear else out_res
-        t = nn.Conv(self.hidden, k, padding="SAME")(t)
+        t = conv(self.hidden)(t)
         if self.nonlinear:
             t = jnp.tanh(t)
-        t = nn.Conv(self.hidden, k, padding="SAME")(t)
+        t = conv(self.hidden)(t)
         t = t + out_res
-        return nn.Conv(self.channels, k, padding="SAME")(t)
+        # fp32 output: the result feeds the exactly-inverted lifting ladder
+        return conv(self.channels)(t).astype(jnp.float32)
 
 
 class SkipConv(nn.Module):
@@ -133,6 +137,7 @@ class LiftStage(nn.Module):
     nonlinear: bool = True
     res_weight: float = 0.1
     use_scale: bool = False
+    dtype: object = None
 
     def setup(self):
         # cycle the 9/7 ladder coefficients: alpha, beta, gamma, delta, ...
@@ -144,10 +149,12 @@ class LiftStage(nn.Module):
             skips.append(SkipConv(self.channels, updt_coeffs[p % 2], "update"))
         self.skips = skips
         self.p_blocks = [
-            PBlock(self.channels, self.hidden, self.filtersize, self.nonlinear)
+            PBlock(self.channels, self.hidden, self.filtersize,
+                   self.nonlinear, self.dtype)
             for _ in range(self.num_pairs)]
         self.u_blocks = [
-            PBlock(self.channels, self.hidden, self.filtersize, self.nonlinear)
+            PBlock(self.channels, self.hidden, self.filtersize,
+                   self.nonlinear, self.dtype)
             for _ in range(self.num_pairs)]
         if self.use_scale:
             self.nh = self.param("nh", nn.initializers.zeros, (1,))

@@ -65,6 +65,7 @@ class MaskedConv2d(nn.Module):
     mask_type: str = "A"
     feature_group_count: int = 1
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -77,5 +78,9 @@ class MaskedConv2d(nn.Module):
         )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
         return masked_conv2d(x, kernel, bias, self.mask_type,
                              self.feature_group_count)

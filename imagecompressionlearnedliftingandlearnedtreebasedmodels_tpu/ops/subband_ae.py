@@ -28,11 +28,12 @@ class SubbandAutoEncoder(nn.Module):
 
     in_ch: int
     hidden: int = 32
+    dtype: object = None
 
     def setup(self):
         ic, h = self.in_ch, self.hidden
         conv = lambda feats: nn.Conv(  # noqa: E731
-            feats, (1, 1), feature_group_count=ic)
+            feats, (1, 1), feature_group_count=ic, dtype=self.dtype)
         self.down = [conv(ic * h), conv(ic * h), conv(ic * h), conv(ic)]
         self.up = [conv(ic * h), conv(ic * h), conv(ic * h), conv(ic)]
 
@@ -51,29 +52,39 @@ class SubbandAutoEncoder(nn.Module):
 
 
 class SubbandAutoEncoderBerk(nn.Module):
-    """3x3 GDN compander (reference lifting_dwt_nets.py:126-165)."""
+    """3x3 GDN compander (reference lifting_dwt_nets.py:126-165).
+
+    The FLOP-heaviest block in the flagship codec (full-resolution 96/192
+    channel 3x3 convs); ``dtype=bfloat16`` runs the convs and GDN matmuls on
+    the MXU at double rate with fp32 params and fp32 outputs at the ends.
+    """
 
     in_ch: int
     hidden: int = 64
+    dtype: object = None
 
     def setup(self):
         ic, h = self.in_ch, self.hidden
-        conv = lambda feats: nn.Conv(feats, (3, 3), padding="SAME")  # noqa: E731
+        conv = lambda feats: nn.Conv(  # noqa: E731
+            feats, (3, 3), padding="SAME", dtype=self.dtype)
         self.down = [conv(ic * h // 2), conv(ic * h), conv(ic * h // 2), conv(ic)]
-        self.down_gdn = [GDN(ic * h // 2), GDN(ic * h), GDN(ic * h // 2)]
+        self.down_gdn = [GDN(ic * h // 2, dtype=self.dtype),
+                         GDN(ic * h, dtype=self.dtype),
+                         GDN(ic * h // 2, dtype=self.dtype)]
         self.up = [conv(ic * h // 2), conv(ic * h), conv(ic * h // 2), conv(ic)]
-        self.up_gdn = [GDN(ic * h // 2, inverse=True), GDN(ic * h, inverse=True),
-                       GDN(ic * h // 2, inverse=True)]
+        self.up_gdn = [GDN(ic * h // 2, inverse=True, dtype=self.dtype),
+                       GDN(ic * h, inverse=True, dtype=self.dtype),
+                       GDN(ic * h // 2, inverse=True, dtype=self.dtype)]
 
     def encode(self, x):
         for layer, gdn in zip(self.down[:-1], self.down_gdn):
             x = gdn(layer(x))
-        return self.down[-1](x)
+        return self.down[-1](x).astype(jnp.float32)
 
     def decode(self, y):
         for layer, gdn in zip(self.up[:-1], self.up_gdn):
             y = gdn(layer(y))
-        return self.up[-1](y)
+        return self.up[-1](y).astype(jnp.float32)
 
     def __call__(self, x):  # for init
         return self.decode(self.encode(x))
@@ -94,11 +105,11 @@ class IdentityAE(nn.Module):
         return x
 
 
-def make_subband_ae(kind: str, in_ch: int) -> nn.Module:
+def make_subband_ae(kind: str, in_ch: int, dtype=None) -> nn.Module:
     if kind == "SubbandAutoEncoder":
-        return SubbandAutoEncoder(in_ch=in_ch)
+        return SubbandAutoEncoder(in_ch=in_ch, dtype=dtype)
     if kind == "SubbandAutoEncoderBerk":
-        return SubbandAutoEncoderBerk(in_ch=in_ch)
+        return SubbandAutoEncoderBerk(in_ch=in_ch, dtype=dtype)
     if kind == "none":
         return IdentityAE()
     raise ValueError(f"unknown autoencoder kind {kind!r}")

@@ -106,3 +106,13 @@ def test_zero_pu_blocks_reduce_to_cdf97_ladder():
     np.testing.assert_allclose(
         np.asarray(hl[interior]) * dwt97.NL * dwt97.NH,
         np.asarray(hl_r[interior]), atol=1e-4)
+
+
+def test_bf16_lifting_still_exactly_invertible():
+    """bf16 P/U conv compute must not break algebraic inversion: the inverse
+    subtracts the SAME deterministic values the forward added."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
+    model = LearnedLiftingTransform(_cfg(dwtlevels=2, dtype="bfloat16"))
+    _, _, xhat = _roundtrip(x=x, model=model)
+    np.testing.assert_allclose(np.asarray(xhat), np.asarray(x), atol=2e-4)

@@ -33,12 +33,13 @@ def main():
     cfg = flagship_config(dtype="bfloat16")
     model = CodecWrapper(cfg)
     h, w = 512, 768  # Kodak portrait orientation
+    batch = 8        # batched Kodak eval (BASELINE config 2 workload)
     # init params on a small patch (shapes are resolution-agnostic)
     state = init_state(cfg, model, jnp.zeros((1, 64, 64, 3)),
                        jax.random.PRNGKey(0))
     eval_step = make_eval_step(cfg, model)
 
-    img = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3))
 
     def chain(n):
         x = img
@@ -55,9 +56,9 @@ def main():
         chain(n)
         return time.perf_counter() - t0
 
-    n1, n2 = 4, 24
+    n1, n2 = 2, 8
     per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(2))
-    mp_per_s = (h * w / 1e6) / per_iter
+    mp_per_s = (batch * h * w / 1e6) / per_iter
     print(json.dumps({
         "metric": "kodak_flagship_surrogate_encdec_throughput",
         "value": round(mp_per_s, 4),

@@ -84,3 +84,40 @@ class MaskedConv2d(nn.Module):
             bias = bias.astype(self.dtype) if bias is not None else None
         return masked_conv2d(x, kernel, bias, self.mask_type,
                              self.feature_group_count)
+
+
+class ChannelIncrementalConv2d(nn.Module):
+    """Channel-causal conv: output channel block i only sees input channel
+    blocks < i (+ itself for type B). Counterpart of the reference's
+    ``Conv2dChIncremental`` (``masked_conv2d.py``), used for channel-wise
+    autoregressive factorizations.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    blocks: int
+    mask_type: str = "A"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        assert in_ch % self.blocks == 0 and self.features % self.blocks == 0
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, in_ch, self.features))
+        in_blk = np.repeat(np.arange(self.blocks), in_ch // self.blocks)
+        out_blk = np.repeat(np.arange(self.blocks),
+                            self.features // self.blocks)
+        if self.mask_type == "A":
+            mask = (in_blk[:, None] < out_blk[None, :]).astype(np.float32)
+        else:
+            mask = (in_blk[:, None] <= out_blk[None, :]).astype(np.float32)
+        kernel = kernel * jnp.asarray(mask)[None, None]
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        return y

@@ -42,3 +42,21 @@ def psnr(x, xhat, peak: float = 1.0):
     ``rate_dist.py:89-94`` / ``liftingDWT_agent.py:186``)."""
     mse = jnp.mean((x - xhat) ** 2, axis=tuple(range(1, x.ndim)))
     return jnp.mean(-10.0 * jnp.log10(mse / (peak ** 2)))
+
+
+def rate_loss(self_informations) -> jnp.ndarray:
+    """Mean self-information — the legacy rate-only training loss
+    (reference ``graphs/losses/rate_distortion_loss.py`` TrainRateLoss /
+    ValidRateLoss)."""
+    return jnp.mean(self_informations)
+
+
+def valid_rd_loss(x, xhat, info_xe, info_xo_list, lambda_: float):
+    """PSNR-based validation objective (reference ``ValidRDLoss``,
+    ``rate_dist.py:74-94``): psnr + lambda * rate."""
+    numel = jnp.asarray(x.size, jnp.float32)
+    p = psnr(x, xhat)
+    rate = jnp.sum(info_xe) / numel * 3.0
+    for info in info_xo_list:
+        rate = rate + jnp.sum(info) / numel * 3.0
+    return p + rate * lambda_, p, rate

@@ -65,20 +65,25 @@ def self_information_bits(x, scales, means=None, training=True, rng=None):
     return x_qnt, -jnp.log2(lik)
 
 
+@jax.jit
+def _build_indexes_default(scales):
+    table = jnp.asarray(get_scale_table()[:-1], jnp.float32)
+    scales = lower_bound(scales, SCALE_BOUND)
+    return jnp.sum(scales[..., None] > table, axis=-1).astype(jnp.int32)
+
+
 def build_indexes(scales, scale_table=None):
     """Map each scale to its CDF-table row (GaussianConditional.build_indexes).
 
     index = number of table entries strictly below the (bounded) scale,
-    capped at len(table)-1.
+    capped at len(table)-1 — one vectorized comparison against the table
+    (the reference iterates the 64-entry table per call).
     """
     if scale_table is None:
-        scale_table = get_scale_table()
-    table = jnp.asarray(scale_table)
-    scales = lower_bound(scales, SCALE_BOUND)
-    indexes = jnp.full(scales.shape, len(table) - 1, dtype=jnp.int32)
-    for s in np.asarray(scale_table)[:-1]:
-        indexes = indexes - (scales <= s).astype(jnp.int32)
-    return indexes
+        return _build_indexes_default(jnp.asarray(scales, jnp.float32))
+    table = jnp.asarray(np.asarray(scale_table)[:-1], jnp.float32)
+    scales = lower_bound(jnp.asarray(scales, jnp.float32), SCALE_BOUND)
+    return jnp.sum(scales[..., None] > table, axis=-1).astype(jnp.int32)
 
 
 def quantize_for_coding(x, means=None):

@@ -152,6 +152,37 @@ class CodecCoder:
             data, indexes.ravel(), cdfs, lengths, offsets).reshape(shape)
         return symbols.astype(np.float32) + med
 
+    # --- fused per-level coding kernels ---------------------------------
+    # Each host<->device round trip costs real latency, so the device side
+    # of one coding step (context params -> CDF indexes -> symbols/means)
+    # is ONE jitted call per level/coset, not three.
+    def _fused_enc(self, plane: int, name: str, *static):
+        key = ("fenc", name) + static
+        if key not in self._jit_cache:
+            def fn(m, x, *args):
+                sigma, mu = getattr(m.entropymodel, name)(*static, *args)
+                idx = gaussian.build_indexes(sigma)
+                sym = jnp.round(x - mu).astype(jnp.int32)
+                hat = sym.astype(jnp.float32) + mu
+                return sym, idx, hat
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self._plane_codec.apply(
+                    {"params": p}, *a, method=fn))
+        fn_jit = self._jit_cache[key]
+        return lambda *args: fn_jit(self._plane_params(plane), *args)
+
+    def _fused_dec_params(self, plane: int, name: str, *static):
+        key = ("fdec", name) + static
+        if key not in self._jit_cache:
+            def fn(m, *args):
+                sigma, mu = getattr(m.entropymodel, name)(*static, *args)
+                return gaussian.build_indexes(sigma), mu
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self._plane_codec.apply(
+                    {"params": p}, *a, method=fn))
+        fn_jit = self._jit_cache[key]
+        return lambda *args: fn_jit(self._plane_params(plane), *args)
+
     # --- GC (conditional Gaussian) coding ------------------------------
     def _gc_encode(self, x: np.ndarray, sigma, mu) -> Tuple[bytes, np.ndarray]:
         indexes = np.asarray(gaussian.build_indexes(jnp.asarray(sigma)))
@@ -247,14 +278,17 @@ class CodecCoder:
         data, hat = self._eb_encode(
             np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
         xo_streams[L - 1], xo_hats[L - 1] = data, hat
-        con = hat
+        con = jnp.asarray(hat)
         for i in range(L - 2, -1, -1):
-            sigma, mu = self._entropy_method(
+            sym, idx, hat_dev = self._fused_enc(
                 plane, "level_params_from_parent", i)(
-                    self.params, jnp.asarray(con))
-            data, hat = self._gc_encode(np.asarray(xo_list[i]), sigma, mu)
-            xo_streams[i], xo_hats[i] = data, hat
-            con = hat
+                    jnp.asarray(xo_list[i]), con)
+            sym, idx = jax.device_get((sym, idx))
+            xo_streams[i] = rans.encode_with_indexes(
+                sym.ravel(), idx.ravel(), self._gc_cdfs, self._gc_lengths,
+                self._gc_offsets)
+            xo_hats[i] = np.asarray(hat_dev)
+            con = hat_dev
         return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
 
     def _decompress_ezwt(self, plane, streams, xe_shape, xo_shapes):
@@ -265,13 +299,16 @@ class CodecCoder:
         xo_hat[L - 1] = self._eb_decode(
             streams.xo[L - 1], xo_shapes[L - 1],
             self._eb_table(plane, "eb_xo"))
-        con = xo_hat[L - 1]
+        con = jnp.asarray(xo_hat[L - 1])
         for i in range(L - 2, -1, -1):
-            sigma, mu = self._entropy_method(
-                plane, "level_params_from_parent", i)(
-                    self.params, jnp.asarray(con))
-            xo_hat[i] = self._gc_decode(streams.xo[i], sigma, mu)
-            con = xo_hat[i]
+            idx, mu = self._fused_dec_params(
+                plane, "level_params_from_parent", i)(con)
+            idx, mu = jax.device_get((idx, mu))
+            symbols = rans.decode_with_indexes(
+                streams.xo[i], idx.ravel(), self._gc_cdfs,
+                self._gc_lengths, self._gc_offsets).reshape(idx.shape)
+            xo_hat[i] = symbols.astype(np.float32) + mu
+            con = jnp.asarray(xo_hat[i])
         return xe_hat, xo_hat
 
     # ZTBlock ------------------------------------------------------------
@@ -330,25 +367,29 @@ class CodecCoder:
         Decode mode (``chunks_in`` given): returns (hat_channel, None).
         """
         encode = x_ch is not None
-        b = parent.shape[0]
-        h2, w2 = parent.shape[1], parent.shape[2]
-        cosets: List[Optional[np.ndarray]] = [None] * 4
+        cosets: List[Optional[jnp.ndarray]] = [None] * 4
         chunks_out: List[bytes] = []
         if encode:
             x_cosets = [x_ch[:, 0::2, 0::2], x_ch[:, 0::2, 1::2],
                         x_ch[:, 1::2, 0::2], x_ch[:, 1::2, 1::2]]
-        if not encode:
-            dec = rans.RansDecoder()
         for k in range(4):
-            prev = [jnp.asarray(cosets[m]) for m in range(k)]
-            sigma, mu = self._entropy_method(
-                plane, "coset_params", idx, k)(self.params, parent, *prev)
+            prev = [cosets[m] for m in range(k)]
             if encode:
-                data, hat = self._gc_encode(x_cosets[k], sigma, mu)
-                chunks_out.append(data)
+                sym, sidx, hat = self._fused_enc(
+                    plane, "coset_params", idx, k)(
+                        jnp.asarray(x_cosets[k]), parent, *prev)
+                sym, sidx = jax.device_get((sym, sidx))
+                chunks_out.append(rans.encode_with_indexes(
+                    sym.ravel(), sidx.ravel(), self._gc_cdfs,
+                    self._gc_lengths, self._gc_offsets))
             else:
-                dec.set_stream(chunks_in[k])
-                hat = self._gc_stream_decode(dec, sigma, mu)
+                sidx, mu = self._fused_dec_params(
+                    plane, "coset_params", idx, k)(parent, *prev)
+                sidx, mu = jax.device_get((sidx, mu))
+                symbols = rans.decode_with_indexes(
+                    chunks_in[k], sidx.ravel(), self._gc_cdfs,
+                    self._gc_lengths, self._gc_offsets).reshape(sidx.shape)
+                hat = jnp.asarray(symbols.astype(np.float32) + mu)
             cosets[k] = hat
         from ..entropy.models import _interleave_cosets
         hat_ch = np.asarray(_interleave_cosets(

@@ -76,6 +76,7 @@ class CodecCoder:
         from ..models.codec import LiftingDWTCodec
         self._plane_codec = LiftingDWTCodec(cfg)
         self._plane_params_cache: Dict[int, dict] = {}
+        self._warm = False  # first image runs serially to build jit caches
 
     # --- module access ------------------------------------------------
     def _plane_params(self, plane: int):
@@ -411,16 +412,24 @@ class CodecCoder:
                 color.rgb_to_ycbcr(jnp.asarray(batch))))
             planes = [ycbcr[..., i:i + 1] for i in range(3)]
 
-        streams: List[PlaneStreams] = []
-        yhats = []
-        for p, y in enumerate(planes):
+        def roundtrip(p_y):
+            p, y = p_y
             plane_streams, _, xe_hat, xo_hats = self.compress_plane(p, y)
-            streams.append(plane_streams)
-            xe_shape = xe_hat.shape
-            xo_shapes = [t.shape for t in xo_hats]
-            yhat = self.decompress_plane(p, plane_streams, xe_shape,
-                                         xo_shapes)
-            yhats.append(yhat)
+            yhat = self.decompress_plane(
+                p, plane_streams, xe_hat.shape, [t.shape for t in xo_hats])
+            return plane_streams, yhat
+
+        if len(planes) > 1 and self._warm:
+            # Host<->device round trips dominate on tunneled backends;
+            # independent planes overlap their RTTs on threads.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=len(planes)) as pool:
+                results = list(pool.map(roundtrip, enumerate(planes)))
+        else:
+            results = [roundtrip(pe) for pe in enumerate(planes)]
+            self._warm = True
+        streams = [r[0] for r in results]
+        yhats = [r[1] for r in results]
 
         if cfg.clrch == 3:
             xhat = np.clip(yhats[0], -0.5, 0.5) + 0.5

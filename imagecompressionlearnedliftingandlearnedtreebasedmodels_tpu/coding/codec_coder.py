@@ -76,6 +76,7 @@ class CodecCoder:
         from ..models.codec import LiftingDWTCodec
         self._plane_codec = LiftingDWTCodec(cfg)
         self._plane_params_cache: Dict[int, dict] = {}
+        self._plane_params_cpu_cache: Dict[int, dict] = {}
         self._warm = False  # first image runs serially to build jit caches
 
     # --- module access ------------------------------------------------
@@ -88,12 +89,42 @@ class CodecCoder:
             self._plane_params_cache[plane] = tree
         return self._plane_params_cache[plane]
 
+    def _plane_params_cpu(self, plane: int):
+        """Host-CPU copy of one plane's params (for latency-bound AR loops:
+        the per-diagonal context nets are tiny, so evaluating them on the
+        host CPU backend avoids one accelerator round trip per diagonal)."""
+        if plane not in self._plane_params_cpu_cache:
+            cpu = jax.devices("cpu")[0]
+            self._plane_params_cpu_cache[plane] = jax.device_put(
+                self._plane_params(plane), cpu)
+        return self._plane_params_cpu_cache[plane]
+
     def _jit(self, key, fn):
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda params, *args: self._plane_codec.apply(
                     {"params": params}, *args, method=fn))
         return self._jit_cache[key]
+
+    def _entropy_codes_cpu(self, plane: int, name: str, *static):
+        """CPU-backend jit of an entropy param method fused with
+        ``build_indexes``: (args...) -> (indexes, mu), no TPU round trip."""
+        key = ("cpu_codes", name) + static
+        if key not in self._jit_cache:
+            def fn(m, *args):
+                sigma, mu = getattr(m.entropymodel, name)(*static, *args)
+                return gaussian.build_indexes(sigma), mu
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self._plane_codec.apply(
+                    {"params": p}, *a, method=fn))
+        fn_jit = self._jit_cache[key]
+        cpu = jax.devices("cpu")[0]
+        params = self._plane_params_cpu(plane)
+
+        def call(*args):
+            with jax.default_device(cpu):
+                return fn_jit(params, *args)
+        return call
 
     def _analysis(self, plane: int):
         fn = self._jit(("enc",), lambda m, x: m.transform.encode(x))

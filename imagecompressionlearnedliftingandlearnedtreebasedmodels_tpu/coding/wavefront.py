@@ -70,14 +70,18 @@ def _gather_patches(padded: np.ndarray, coords: np.ndarray, k: int,
 
 
 class ZTSepPlaneCoder:
-    """Shared encode/decode wavefront walker for one tensor plane."""
+    """Shared encode/decode wavefront walker for one tensor plane.
+
+    The per-diagonal context nets are tiny (a handful of patches through
+    small convs), so they run on the HOST CPU jax backend — the sequential
+    loop never crosses the accelerator boundary (which costs ~25-40 ms RTT
+    per step on tunneled TPUs). Only the whole-plane parent-context pass
+    runs on the accelerator, once per level.
+    """
 
     def __init__(self, coder, plane: int):
         self.coder = coder
         self.plane = plane
-
-    def _center_fn(self, name: str, *static):
-        return self.coder._entropy_method(self.plane, name, *static)
 
     def code(self, kind: str, level: Optional[int], x_true, shape,
              decoder: Optional[rans.RansDecoder], con=None
@@ -92,9 +96,10 @@ class ZTSepPlaneCoder:
         assert b == 1
         if kind == "level":
             k, name, static = 5, "level_center_params", (level,)
-            # whole-plane parent context, once
-            plc = jax.device_get(self._center_fn(
-                "plc_params_from_parent", level)(coder.params, con))
+            # whole-plane parent context, once (accelerator pass)
+            plc = jax.device_get(coder._entropy_method(
+                self.plane, "plc_params_from_parent", level)(
+                    coder.params, con))
         else:
             k, name, static = 11, ("xe_center_params" if kind == "xe"
                                    else "coarsest_center_params"), ()
@@ -102,26 +107,27 @@ class ZTSepPlaneCoder:
         a = (5 // 2 + 1) if kind == "level" else (3 // 2 + 1)
         pad = k // 2
         order = diagonal_order(h, w, a)
-        fn = self._center_fn(name, *static)
+        codes_fn = coder._entropy_codes_cpu(self.plane, name, *static)
 
         padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
         hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
         all_syms, all_idxs = [], []
+        cpu = jax.devices("cpu")[0]
         for coords in order:
             n = coords.shape[0]
             bucket = _bucket(n)
             patches = _gather_patches(padded, coords, k, bucket)
-            if kind == "level":
-                plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
-                plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
-                sigma, mu = fn(coder.params, jnp.asarray(patches),
-                               jnp.asarray(plc_c))
-            else:
-                sigma, mu = fn(coder.params, jnp.asarray(patches))
-            sigma = np.asarray(sigma)[:n]
+            with jax.default_device(cpu):
+                if kind == "level":
+                    plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
+                    plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
+                    idx, mu = codes_fn(jnp.asarray(patches),
+                                       jnp.asarray(plc_c))
+                else:
+                    idx, mu = codes_fn(jnp.asarray(patches))
+            idx = np.asarray(idx)[:n]
             mu = np.asarray(mu)[:n]
-            idx_d = np.asarray(gaussian.build_indexes(
-                jnp.asarray(sigma))).ravel()
+            idx_d = idx.ravel()
             rr, cc = coords[:, 0], coords[:, 1]
             if x_true is not None:
                 x_d = x_true[0, rr, cc, :]

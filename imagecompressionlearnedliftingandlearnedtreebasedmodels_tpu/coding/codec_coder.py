@@ -89,6 +89,22 @@ class CodecCoder:
             self._plane_params_cache[plane] = tree
         return self._plane_params_cache[plane]
 
+    def _native_level_eval(self, plane: int, level: int):
+        """Native (C++) per-diagonal evaluator for the ZTsep level path;
+        None if unavailable (falls back to the CPU-jax path)."""
+        if not hasattr(self, "_native_cache"):
+            self._native_cache = {}
+        key = (plane, level)
+        if key not in self._native_cache:
+            try:
+                from .native_ctx import LevelContextEvaluator
+                params_np = jax.device_get(self._plane_params(plane))
+                self._native_cache[key] = LevelContextEvaluator(
+                    params_np, level, 3 * self.cfg.clrch)
+            except Exception:
+                self._native_cache[key] = None
+        return self._native_cache[key]
+
     def _plane_params_cpu(self, plane: int):
         """Host-CPU copy of one plane's params (for latency-bound AR loops:
         the per-diagonal context nets are tiny, so evaluating them on the

@@ -1,0 +1,90 @@
+"""ctypes binding for the native wavefront context evaluator.
+
+Exports a plane's ZTsepSubbands level-path weights once and evaluates
+per-diagonal (CDF index, mu) in a single C++ call — the latency-critical
+inner loop of the AR decoder (see ``wavefront.py``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict
+
+import numpy as np
+
+from ..entropy import gaussian
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "wavefront_ctx.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "csrc", "libwavefront_ctx.so")
+_LOCK = threading.Lock()
+_lib = None
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _LOCK:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-o", _LIB, _SRC],
+                check=True, capture_output=True)
+        _lib = ctypes.CDLL(_LIB)
+        return _lib
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class LevelContextEvaluator:
+    """Native evaluator for one (plane, level) of ZTsepSubbands."""
+
+    def __init__(self, plane_params: Dict, level: int, so: int):
+        em = plane_params["entropymodel"]
+        csc = em[f"csc_{level}"]
+        self.so = so
+        self.csc_w = np.ascontiguousarray(
+            np.asarray(csc["kernel"], np.float32).reshape(25, so * 81))
+        self.csc_b = np.ascontiguousarray(
+            np.asarray(csc["bias"], np.float32))
+        cgp = em[f"cgp_{level}"]
+        self.ws, self.bs, self.outs = [], [], []
+        for i in range(4):
+            k = np.asarray(cgp[f"Conv_{i}"]["kernel"], np.float32)
+            # (1,1,in_g,out_total) -> (in_g, out_total)
+            self.ws.append(np.ascontiguousarray(k.reshape(k.shape[2],
+                                                          k.shape[3])))
+            self.bs.append(np.ascontiguousarray(
+                np.asarray(cgp[f"Conv_{i}"]["bias"], np.float32)))
+            self.outs.append(k.shape[3])
+        self.table = np.ascontiguousarray(
+            gaussian.get_scale_table().astype(np.float32))
+
+    def __call__(self, patches: np.ndarray, plc: np.ndarray):
+        """patches (n,5,5,so), plc (n,so*81) -> (idx (n,so) i32, mu (n,so))."""
+        lib = get_lib()
+        n = patches.shape[0]
+        patches = np.ascontiguousarray(patches, np.float32)
+        plc = np.ascontiguousarray(plc, np.float32)
+        idx = np.zeros((n, self.so), np.int32)
+        mu = np.zeros((n, self.so), np.float32)
+        lib.ztsep_level_centers(
+            _fp(patches), ctypes.c_int64(n), ctypes.c_int32(self.so),
+            _fp(plc),
+            _fp(self.csc_w), _fp(self.csc_b),
+            _fp(self.ws[0]), _fp(self.bs[0]), ctypes.c_int32(self.outs[0]),
+            _fp(self.ws[1]), _fp(self.bs[1]), ctypes.c_int32(self.outs[1]),
+            _fp(self.ws[2]), _fp(self.bs[2]), ctypes.c_int32(self.outs[2]),
+            _fp(self.ws[3]), _fp(self.bs[3]), ctypes.c_int32(self.outs[3]),
+            _fp(self.table), ctypes.c_int32(len(self.table)),
+            ctypes.c_float(gaussian.SCALE_BOUND),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu))
+        return idx, mu

@@ -107,7 +107,10 @@ class ZTSepPlaneCoder:
         a = (5 // 2 + 1) if kind == "level" else (3 // 2 + 1)
         pad = k // 2
         order = diagonal_order(h, w, a)
-        codes_fn = coder._entropy_codes_cpu(self.plane, name, *static)
+        native = (coder._native_level_eval(self.plane, level)
+                  if kind == "level" else None)
+        codes_fn = (None if native is not None
+                    else coder._entropy_codes_cpu(self.plane, name, *static))
 
         padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
         hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
@@ -115,19 +118,25 @@ class ZTSepPlaneCoder:
         cpu = jax.devices("cpu")[0]
         for coords in order:
             n = coords.shape[0]
-            bucket = _bucket(n)
-            patches = _gather_patches(padded, coords, k, bucket)
-            with jax.default_device(cpu):
-                if kind == "level":
-                    plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
-                    plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
-                    idx, mu = codes_fn(jnp.asarray(patches),
-                                       jnp.asarray(plc_c))
-                else:
-                    idx, mu = codes_fn(jnp.asarray(patches))
-            idx = np.asarray(idx)[:n]
-            mu = np.asarray(mu)[:n]
-            idx_d = idx.ravel()
+            if native is not None:
+                patches = _gather_patches(padded, coords, k, n)
+                plc_c = plc[0, coords[:, 0], coords[:, 1], :]
+                idx, mu = native(patches, plc_c)
+            else:
+                bucket = _bucket(n)
+                patches = _gather_patches(padded, coords, k, bucket)
+                with jax.default_device(cpu):
+                    if kind == "level":
+                        plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
+                        plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
+                        idx, mu = codes_fn(jnp.asarray(patches),
+                                           jnp.asarray(plc_c))
+                    else:
+                        idx, mu = codes_fn(jnp.asarray(patches))
+                idx = np.asarray(idx)[:n]
+                mu = np.asarray(mu)[:n]
+            idx_d = np.asarray(idx).ravel()
+            mu = np.asarray(mu)
             rr, cc = coords[:, 0], coords[:, 1]
             if x_true is not None:
                 x_d = x_true[0, rr, cc, :]

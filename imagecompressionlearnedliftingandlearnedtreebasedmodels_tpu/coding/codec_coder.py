@@ -122,6 +122,25 @@ class CodecCoder:
                     {"params": params}, *args, method=fn))
         return self._jit_cache[key]
 
+    def _entropy_plane_cpu(self, plane: int, name: str, *static):
+        """CPU-backend jit of a whole-plane entropy param method."""
+        key = ("cpu_plane", name) + static
+
+        def fn(m, *args):
+            return getattr(m.entropymodel, name)(*static, *args)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self._plane_codec.apply(
+                    {"params": p}, *a, method=fn))
+        fn_jit = self._jit_cache[key]
+        cpu = jax.devices("cpu")[0]
+        params = self._plane_params_cpu(plane)
+
+        def call(*args):
+            with jax.default_device(cpu):
+                return fn_jit(params, *args)
+        return call
+
     def _entropy_codes_cpu(self, plane: int, name: str, *static):
         """CPU-backend jit of an entropy param method fused with
         ``build_indexes``: (args...) -> (indexes, mu), no TPU round trip."""

@@ -25,16 +25,18 @@ inline void grouped_matmul_lrelu(const float* x, int in_total,
                                  const float* w, const float* b,
                                  int out_total, int groups, bool act,
                                  float* y) {
-  // w layout: (in_per_g, out_total), flax grouped-conv kernel squeezed.
+  // w layout: (out_total, in_per_g) — pre-transposed by the Python binding
+  // for unit-stride weight reads (the flax kernel layout (in, out) strides
+  // by out_total per tap, which is cache-hostile here).
   const int in_g = in_total / groups;
   const int out_g = out_total / groups;
   for (int o = 0; o < out_total; ++o) {
     const int g = o / out_g;
     const float* xg = x + g * in_g;
+    const float* wo = w + static_cast<int64_t>(o) * in_g;
     float acc = b ? b[o] : 0.0f;
-    const float* wo = w + o;  // stride out_total over in index
     for (int i = 0; i < in_g; ++i) {
-      acc += xg[i] * wo[static_cast<int64_t>(i) * out_total];
+      acc += xg[i] * wo[i];
     }
     y[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
   }
@@ -77,14 +79,15 @@ void ztsep_level_centers(
 
   for (int64_t p = 0; p < n; ++p) {
     const float* patch = patches + p * 25 * so;
-    // csc center: out channel o in group g uses input channel g only
+    // csc center: out channel o in group g uses input channel g only.
+    // csc_w pre-transposed to (wide, 25) for unit-stride tap reads.
     for (int o = 0; o < wide; ++o) {
       const int g = o / 81;
+      const float* wo = csc_w + static_cast<int64_t>(o) * 25;
       float acc = csc_b[o];
       for (int m = 0; m < nm; ++m) {
         const int pos = mask_pos[m];
-        acc += patch[pos * so + g]
-               * csc_w[static_cast<int64_t>(pos) * wide + o];
+        acc += patch[pos * so + g] * wo[pos];
       }
       csc[o] = acc;
     }

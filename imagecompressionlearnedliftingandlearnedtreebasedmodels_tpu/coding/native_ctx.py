@@ -51,17 +51,18 @@ class LevelContextEvaluator:
         em = plane_params["entropymodel"]
         csc = em[f"csc_{level}"]
         self.so = so
+        # pre-transpose weights to (out, in) for unit-stride C++ reads
         self.csc_w = np.ascontiguousarray(
-            np.asarray(csc["kernel"], np.float32).reshape(25, so * 81))
+            np.asarray(csc["kernel"], np.float32).reshape(25, so * 81).T)
         self.csc_b = np.ascontiguousarray(
             np.asarray(csc["bias"], np.float32))
         cgp = em[f"cgp_{level}"]
         self.ws, self.bs, self.outs = [], [], []
         for i in range(4):
             k = np.asarray(cgp[f"Conv_{i}"]["kernel"], np.float32)
-            # (1,1,in_g,out_total) -> (in_g, out_total)
-            self.ws.append(np.ascontiguousarray(k.reshape(k.shape[2],
-                                                          k.shape[3])))
+            # (1,1,in_g,out_total) -> (out_total, in_g)
+            self.ws.append(np.ascontiguousarray(
+                k.reshape(k.shape[2], k.shape[3]).T))
             self.bs.append(np.ascontiguousarray(
                 np.asarray(cgp[f"Conv_{i}"]["bias"], np.float32)))
             self.outs.append(k.shape[3])

@@ -96,10 +96,12 @@ class ZTSepPlaneCoder:
         assert b == 1
         if kind == "level":
             k, name, static = 5, "level_center_params", (level,)
-            # whole-plane parent context, once (accelerator pass)
-            plc = jax.device_get(coder._entropy_method(
+            # whole-plane parent context, once — on the host CPU backend
+            # (the AR loop is latency-bound; a tunnel round trip per level
+            # costs more than the conv does on CPU)
+            plc = np.asarray(coder._entropy_plane_cpu(
                 self.plane, "plc_params_from_parent", level)(
-                    coder.params, con))
+                    jnp.asarray(np.asarray(con))))
         else:
             k, name, static = 11, ("xe_center_params" if kind == "xe"
                                    else "coarsest_center_params"), ()

@@ -72,9 +72,16 @@ class _ConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.fast_conv import FastConv3x3
         for i, (f, k) in enumerate(zip(self.features, self.kernels)):
-            x = nn.Conv(f, (k, k), padding="SAME", dtype=self.dtype,
-                        feature_group_count=self.groups)(x)
+            if self.dtype is not None and k == 3 and self.groups == 1:
+                # MXU-oriented path for the FLOP-heavy dense 3x3 convs;
+                # named Conv_{i} so the param tree matches nn.Conv exactly
+                x = FastConv3x3(f, dtype=self.dtype, name=f"Conv_{i}")(x)
+            else:
+                x = nn.Conv(f, (k, k), padding="SAME", dtype=self.dtype,
+                            feature_group_count=self.groups,
+                            name=f"Conv_{i}")(x)
             if i < len(self.features) - 1:
                 x = nn.leaky_relu(x)
         return x.astype(jnp.float32)

@@ -65,8 +65,12 @@ class SubbandAutoEncoderBerk(nn.Module):
 
     def setup(self):
         ic, h = self.in_ch, self.hidden
-        conv = lambda feats: nn.Conv(  # noqa: E731
-            feats, (3, 3), padding="SAME", dtype=self.dtype)
+        if self.dtype is not None:
+            from .fast_conv import FastConv3x3
+            conv = lambda feats: FastConv3x3(feats, dtype=self.dtype)  # noqa: E731
+        else:
+            conv = lambda feats: nn.Conv(  # noqa: E731
+                feats, (3, 3), padding="SAME", dtype=self.dtype)
         self.down = [conv(ic * h // 2), conv(ic * h), conv(ic * h // 2), conv(ic)]
         self.down_gdn = [GDN(ic * h // 2, dtype=self.dtype),
                          GDN(ic * h, dtype=self.dtype),

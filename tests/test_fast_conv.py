@@ -1,0 +1,40 @@
+"""FastConv3x3 == nn.Conv numerically (up to bf16 rounding)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+    FastConv3x3, conv3x3_im2colT)
+
+
+def test_fast_conv_matches_nn_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 24, 8).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 8, 12).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(12).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    out = conv3x3_im2colT(x, kernel, bias, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    out_bf16 = conv3x3_im2colT(x, kernel, bias, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(ref),
+                               atol=0.05)
+
+
+def test_fast_conv_module_param_compat():
+    """Param tree must be identical to nn.Conv (for checkpoints/import)."""
+    x = jnp.zeros((1, 8, 8, 4))
+    fast = FastConv3x3(6)
+    ref = nn.Conv(6, (3, 3), padding="SAME")
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    sf = jax.tree_util.tree_map(lambda a: a.shape, vf)
+    sr = jax.tree_util.tree_map(lambda a: a.shape, vr)
+    assert sf == sr
+    # same init rng -> same values
+    for a, b in zip(jax.tree_util.tree_leaves(vf),
+                    jax.tree_util.tree_leaves(vr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -33,10 +33,22 @@ def _conv_w(w) -> np.ndarray:
     return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
-def _convT_w(w) -> np.ndarray:
-    # (I, O/g, kh, kw) -> (kh, kw, I, O); for the 1x1 grouped AEs the
-    # spatial flip is a no-op
-    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+def _convT_w(w, groups: int = 1) -> np.ndarray:
+    """torch ConvTranspose2d weight -> flax conv kernel.
+
+    A stride-1 ConvTranspose2d with padding p equals a Conv2d with the
+    kernel flipped in both spatial dims and in/out channel roles swapped
+    (padding k-1-p = SAME for odd k, p=k//2). torch stores the weight as
+    ``(I, O/g, kh, kw)``; the flax grouped conv kernel is
+    ``(kh, kw, I/g, O)`` with output channels group-major.
+    """
+    w = np.asarray(w)[:, :, ::-1, ::-1]
+    i_total, o_per_g, kh, kw = w.shape
+    i_per_g = i_total // groups
+    w = w.reshape(groups, i_per_g, o_per_g, kh, kw)
+    # kernel[u, v, i, g*O_g + o] = w[g, i, o, u, v]
+    return np.transpose(w, (3, 4, 1, 0, 2)).reshape(
+        kh, kw, i_per_g, groups * o_per_g)
 
 
 def _set(tree: dict, path: str, value: np.ndarray, strict_shape=True):
@@ -52,35 +64,33 @@ def _set(tree: dict, path: str, value: np.ndarray, strict_shape=True):
     node[keys[-1]] = value.astype(np.float32)
 
 
-def _ae_entries(prefix: str, dst: str, berk: bool) -> List[Tuple[str, str, str]]:
-    """(torch_key, flax_path, kind) for one subband AE."""
+def _ae_entries(prefix: str, dst: str, berk: bool,
+                in_ch: int) -> List[Tuple[str, str, str]]:
+    """(torch_key, flax_path, kind) for one subband AE.
+
+    The Berk AE's up path is ungrouped 3x3 stride-1 ConvTranspose2d
+    (``lifting_dwt_nets.py:147-152``) -> kind ``convT`` (flip + swap);
+    the plain AE's is grouped 1x1 with ``groups=in_ch``
+    (``lifting_dwt_nets.py:106-110``) -> kind ``("convT", in_ch)``.
+    """
     out = []
+    convt = "convT" if berk else ("convT", in_ch)
+    for j, idx in enumerate((0, 2, 4, 6)):
+        out.append((f"{prefix}.ae_down.{idx}.weight",
+                    f"{dst}/down_{j}/kernel", "conv"))
+        out.append((f"{prefix}.ae_down.{idx}.bias",
+                    f"{dst}/down_{j}/bias", "raw"))
+        out.append((f"{prefix}.ae_up.{idx}.weight",
+                    f"{dst}/up_{j}/kernel", convt))
+        out.append((f"{prefix}.ae_up.{idx}.bias",
+                    f"{dst}/up_{j}/bias", "raw"))
     if berk:  # Sequential(conv, GDN, conv, GDN, conv, GDN, conv)
-        for j, idx in enumerate((0, 2, 4, 6)):
-            out.append((f"{prefix}.ae_down.{idx}.weight",
-                        f"{dst}/down_{j}/kernel", "conv"))
-            out.append((f"{prefix}.ae_down.{idx}.bias",
-                        f"{dst}/down_{j}/bias", "raw"))
-            out.append((f"{prefix}.ae_up.{idx}.weight",
-                        f"{dst}/up_{j}/kernel", "convT"))
-            out.append((f"{prefix}.ae_up.{idx}.bias",
-                        f"{dst}/up_{j}/bias", "raw"))
         for j, idx in enumerate((1, 3, 5)):
             for side in ("down", "up"):
                 out.append((f"{prefix}.ae_{side}.{idx}.beta",
                             f"{dst}/{side}_gdn_{j}/beta", "raw"))
                 out.append((f"{prefix}.ae_{side}.{idx}.gamma",
                             f"{dst}/{side}_gdn_{j}/gamma", "raw"))
-    else:     # Sequential(conv, Tanh, conv, Tanh, conv, Tanh, conv)
-        for j, idx in enumerate((0, 2, 4, 6)):
-            out.append((f"{prefix}.ae_down.{idx}.weight",
-                        f"{dst}/down_{j}/kernel", "conv"))
-            out.append((f"{prefix}.ae_down.{idx}.bias",
-                        f"{dst}/down_{j}/bias", "raw"))
-            out.append((f"{prefix}.ae_up.{idx}.weight",
-                        f"{dst}/up_{j}/kernel", "convT"))
-            out.append((f"{prefix}.ae_up.{idx}.bias",
-                        f"{dst}/up_{j}/bias", "raw"))
     return out
 
 
@@ -108,10 +118,12 @@ def build_mapping(cfg: Config) -> List[Tuple[str, str, str]]:
         # --- transform --------------------------------------------------
         if cfg.autoencoder != "none":
             entries += _ae_entries(f"{src}.autoencoder.Yl_ae",
-                                   f"{dst}/transform/yl_ae", berk)
+                                   f"{dst}/transform/yl_ae", berk,
+                                   1 * cfg.clrch)
             for i in range(L):
                 entries += _ae_entries(f"{src}.autoencoder.Yh_ae.{i}",
-                                       f"{dst}/transform/yh_ae_{i}", berk)
+                                       f"{dst}/transform/yh_ae_{i}", berk,
+                                       3 * cfg.clrch)
         if cfg.netType == "LiftingBasedNeuralWaveletv4":
             n_stages = 1 if cfg.block_property == "same" else L
             pairs = cfg.num_lifting_perlayer
@@ -191,7 +203,14 @@ def build_mapping(cfg: Config) -> List[Tuple[str, str, str]]:
 
 
 _SKIP_SUBSTRINGS = (".mask", "._offset", "._quantized_cdf", "._cdf_length",
-                    ".target", "scale_table", ".scl_", ".scb_")
+                    ".target", "scale_table", ".scl_", ".scb_",
+                    # wavelet_forward/inverse_v2 hold the same P/U/skip/nh/nl
+                    # modules as autoencoder.{P,U}_blocks etc., so their
+                    # state_dict keys are pure aliases (lifting_dwt_nets.py:
+                    # 705-722)
+                    ".waveletForward.", ".waveletInverse.",
+                    # GDN NonNegativeParametrizer constants (gdn.py:24-43)
+                    ".pedestal", ".lower_bound.bound")
 
 
 def import_state_dict(cfg: Config, params, state_dict: Dict) -> Tuple[dict, List[str]]:
@@ -218,6 +237,8 @@ def import_state_dict(cfg: Config, params, state_dict: Dict) -> Tuple[dict, List
             w = _conv_w(w)
         elif kind == "convT":
             w = _convT_w(w)
+        elif isinstance(kind, tuple) and kind[0] == "convT":
+            w = _convT_w(w, groups=kind[1])
         elif kind == "skip":      # (1,1,3,1) fixed conv -> (3, C) taps
             taps = w.reshape(3)
             c = 1 if cfg.clrch == 1 else cfg.clrch

@@ -103,21 +103,39 @@ def build_cdf_matrix(pmfs: np.ndarray, tails: np.ndarray,
 
 
 class BufferedRansEncoder:
-    """Accumulates symbol/index batches; one stream out on flush."""
+    """Accumulates symbol/index batches; one stream out on flush.
+
+    All batches of one flush must share the same CDF tables (the stream
+    holds no per-batch table framing). Unlike compressai — which silently
+    keeps the last tables — mixing tables raises immediately instead of
+    corrupting earlier batches.
+    """
 
     def __init__(self):
         self._symbols: List[np.ndarray] = []
         self._indexes: List[np.ndarray] = []
+        self._cdfs = None
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths,
                             offsets) -> None:
         self._symbols.append(_as_i32(np.asarray(symbols).ravel()))
         self._indexes.append(_as_i32(np.asarray(indexes).ravel()))
-        self._cdfs = _as_u32(cdfs)
-        self._cdf_lengths = _as_i32(cdf_lengths)
-        self._offsets = _as_i32(offsets)
+        cdfs = _as_u32(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        if self._cdfs is None:
+            self._cdfs, self._cdf_lengths, self._offsets = (
+                cdfs, cdf_lengths, offsets)
+        elif not (np.array_equal(self._cdfs, cdfs)
+                  and np.array_equal(self._cdf_lengths, cdf_lengths)
+                  and np.array_equal(self._offsets, offsets)):
+            raise ValueError(
+                "BufferedRansEncoder: CDF tables changed between batches "
+                "of one flush; flush() per table set instead")
 
     def flush(self) -> bytes:
+        if self._cdfs is None:
+            return b""
         lib = get_lib()
         symbols = (np.concatenate(self._symbols)
                    if self._symbols else np.zeros(0, np.int32))
@@ -134,7 +152,7 @@ class BufferedRansEncoder:
             _ptr(out, ctypes.c_uint8), capacity)
         if n < 0:
             raise RuntimeError("rANS encode buffer overflow")
-        self._symbols, self._indexes = [], []
+        self._symbols, self._indexes, self._cdfs = [], [], None
         return bytes(out[:n].tobytes())
 
 

@@ -110,19 +110,20 @@ def cdf_table(scale_table=None, tail_mass: float = TAIL_MASS):
     centers = np.ceil(scale_table * multiplier).astype(np.int64)
     pmf_length = 2 * centers + 1
     max_length = int(pmf_length.max())
-    max_center = int(centers.max())
-    samples = np.abs(np.arange(max_length) - max_center)  # (max_len,)
+    # per-row samples |j - center_i| (compressai's update()): element 0 of
+    # row i is symbol -center_i, so each row's tail is evaluated at its OWN
+    # center — a global max_center would give small-scale rows tail ~0 and
+    # cost extra bits on every escape symbol
+    samples = np.abs(np.arange(max_length)[None, :] - centers[:, None])
     s = scale_table[:, None]
     upper = 0.5 * _scipy_erfc(-(2 ** -0.5) * (0.5 - samples) / s)
     lower = 0.5 * _scipy_erfc(-(2 ** -0.5) * (-0.5 - samples) / s)
-    pmf = upper - lower  # (levels, max_len), centered at max_center
-    tail = 2.0 * lower[:, :1].reshape(-1)
-    # re-center each row so element 0 is symbol -center_i
-    out = np.zeros((len(scale_table), max_length), dtype=np.float64)
-    for i, c in enumerate(centers):
-        out[i, : 2 * c + 1] = pmf[i, max_center - c: max_center + c + 1]
+    pmf = upper - lower  # (levels, max_len); row i valid in [0, 2*center_i]
+    tail = 2.0 * lower[:, 0]
+    mask = np.arange(max_length)[None, :] >= pmf_length[:, None]
+    pmf[mask] = 0.0
     offset = -centers
-    return out, tail, pmf_length, offset
+    return pmf, tail, pmf_length, offset
 
 
 def _scipy_erfc(x):

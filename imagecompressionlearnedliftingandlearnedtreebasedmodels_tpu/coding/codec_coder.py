@@ -36,9 +36,15 @@ from . import rans
 
 @dataclasses.dataclass
 class PlaneStreams:
-    """Byte streams for one color plane: LL + one per detail level."""
+    """Byte streams for one color plane: LL + one per detail level.
+
+    ``meta`` records per-stream coding variants the decoder must honor —
+    notably which context evaluator ("native" C++ vs "jax") produced each
+    AR level, since their last-ulp sigma/mu differences change CDF indexes.
+    """
     xe: bytes
     xo: List[bytes]
+    meta: dict = dataclasses.field(default_factory=dict)
 
     def nbytes(self) -> int:
         return len(self.xe) + sum(len(s) for s in self.xo)
@@ -101,7 +107,40 @@ class CodecCoder:
                 params_np = jax.device_get(self._plane_params(plane))
                 self._native_cache[key] = LevelContextEvaluator(
                     params_np, level, 3 * self.cfg.clrch)
-            except Exception:
+            except Exception as e:
+                # loud fallback: the jax path produces valid streams but is
+                # NOT bit-compatible with native-encoded ones (decode
+                # verifies via PlaneStreams.meta)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native C++ context evaluator unavailable for plane=%d "
+                    "level=%d (%s: %s) — falling back to the jax evaluator",
+                    plane, level, type(e).__name__, e)
+                self._native_cache[key] = None
+        return self._native_cache[key]
+
+    def _native_pixelcnn_eval(self, plane: int, kind: str):
+        """Native (C++) PixelCNN center evaluator for the ZTsep xe /
+        coarsest-details wavefronts; None if unavailable."""
+        if not hasattr(self, "_native_cache"):
+            self._native_cache = {}
+        key = (plane, kind)
+        if key not in self._native_cache:
+            try:
+                from .native_ctx import PixelCNNEvaluator
+                which = "pixelcnn_xe" if kind == "xe" else "pixelcnn_xo"
+                ic = (1 if kind == "xe" else 3) * self.cfg.clrch
+                params_np = jax.device_get(self._plane_params(plane))
+                self._native_cache[key] = PixelCNNEvaluator(
+                    params_np, which, ic)
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native C++ PixelCNN evaluator unavailable for plane=%d "
+                    "kind=%s (%s: %s) — falling back to the jax evaluator",
+                    plane, kind, type(e).__name__, e)
                 self._native_cache[key] = None
         return self._native_cache[key]
 

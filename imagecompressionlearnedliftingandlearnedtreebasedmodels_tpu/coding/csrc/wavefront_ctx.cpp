@@ -122,3 +122,116 @@ void ztsep_level_centers(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 5-layer masked PixelCNN center evaluation (the xe / coarsest-details paths,
+// reference LiftingBasedDWT_net.py:298-317). The naive form runs the full
+// masked stack over an 11x11 patch (~10M MAC/center for ic=1); here each
+// layer is evaluated only on the dependency cone of the center — layer k
+// needs rows (1+k)..5, cols (1+k)..(9-k) — which is ~1.1M MAC/center, all in
+// simple FMA loops over contiguous channel blocks.
+//
+// Layer l: 3x3 conv grouped by ic, mask A for l=0 (taps r0c0 r0c1 r0c2 r1c0)
+// and mask B for l>0 (+ center tap), LeakyReLU(0.01) after layers 0..3.
+// Weights pre-transposed by the binding to (out, 9, in_g); channels of the
+// final layer are per-group (sigma, mu) pairs: [2g] = sigma_g, [2g+1] = mu_g.
+
+namespace {
+
+constexpr int kP = 11;          // patch side
+constexpr int kCenter = 5;      // center row/col
+constexpr int kLayers = 5;
+
+struct LayerSpec {
+  const float* w;  // (out, 9, in_g)
+  const float* b;  // (out)
+  int out_ch;
+  int in_ch;
+};
+
+inline void pixelcnn_layer(const float* prev, int layer, int groups,
+                           const LayerSpec& L, bool act, float* next) {
+  const int in_g = L.in_ch / groups;
+  const int out_g = L.out_ch / groups;
+  const int r0 = 1 + layer;
+  const int c0 = 1 + layer, c1 = kP - 2 - layer;
+  // masked taps: row0 full, row1 col0; +center for type B (layer > 0)
+  const int taps_a[4] = {0, 1, 2, 3};
+  const int taps_b[5] = {0, 1, 2, 3, 4};
+  const int* taps = layer == 0 ? taps_a : taps_b;
+  const int ntaps = layer == 0 ? 4 : 5;
+  for (int r = r0; r <= kCenter; ++r) {
+    for (int c = c0; c <= c1; ++c) {
+      float* out = next + (r * kP + c) * L.out_ch;
+      for (int o = 0; o < L.out_ch; ++o) {
+        const int g = o / out_g;
+        const float* wo = L.w + (static_cast<int64_t>(o) * 9) * in_g;
+        float acc = L.b[o];
+        for (int t = 0; t < ntaps; ++t) {
+          const int tap = taps[t];
+          const int rr = r + tap / 3 - 1;
+          const int cc = c + tap % 3 - 1;
+          const float* x = prev + (rr * kP + cc) * L.in_ch + g * in_g;
+          const float* wt = wo + tap * in_g;
+          float s = 0.0f;
+          for (int i = 0; i < in_g; ++i) s += x[i] * wt[i];
+          acc += s;
+        }
+        out[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// patches: (n, 11, 11, ic); weights wl (out_l, 9, in_l/ic), biases bl.
+// outs: per-layer output channel counts (81ic, 81ic, 27ic, 9ic, 2ic).
+// Outputs: idx (n, ic) CDF rows, mu (n, ic).
+void ztsep_pixelcnn_centers(
+    const float* patches, int64_t n, int32_t ic,
+    const float* w0, const float* b0, int32_t o0,
+    const float* w1, const float* b1, int32_t o1,
+    const float* w2, const float* b2, int32_t o2,
+    const float* w3, const float* b3, int32_t o3,
+    const float* w4, const float* b4, int32_t o4,
+    const float* scale_table, int32_t n_scales, float scale_bound,
+    int32_t* idx_out, float* mu_out) {
+  const LayerSpec specs[kLayers] = {
+      {w0, b0, o0, ic}, {w1, b1, o1, o0}, {w2, b2, o2, o1},
+      {w3, b3, o3, o2}, {w4, b4, o4, o3}};
+  int max_ch = ic;
+  for (const auto& s : specs) max_ch = s.out_ch > max_ch ? s.out_ch : max_ch;
+
+#pragma omp parallel
+  {
+    std::vector<float> buf_a(kP * kP * max_ch), buf_b(kP * kP * max_ch);
+#pragma omp for
+    for (int64_t p = 0; p < n; ++p) {
+      const float* prev = patches + p * kP * kP * ic;
+      float* cur = buf_a.data();
+      float* nxt = buf_b.data();
+      for (int l = 0; l < kLayers; ++l) {
+        pixelcnn_layer(prev, l, ic, specs[l], l + 1 < kLayers, nxt);
+        prev = nxt;
+        float* tmp = cur; cur = nxt; nxt = tmp;
+      }
+      const float* h = prev + (kCenter * kP + kCenter) * o4;
+      for (int g = 0; g < ic; ++g) {
+        float sigma = h[2 * g];
+        const float mu = h[2 * g + 1];
+        if (sigma < scale_bound) sigma = scale_bound;
+        int32_t idx = 0;
+        for (int s = 0; s < n_scales - 1; ++s) {
+          if (sigma > scale_table[s]) ++idx;
+        }
+        idx_out[p * ic + g] = idx;
+        mu_out[p * ic + g] = mu;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -32,10 +32,14 @@ def get_lib() -> ctypes.CDLL:
             return _lib
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-o", _LIB, _SRC],
-                check=True, capture_output=True)
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", "-fopenmp", "-o", _LIB, _SRC]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # toolchains without libgomp: single-threaded build
+                cmd.remove("-fopenmp")
+                subprocess.run(cmd, check=True, capture_output=True)
         _lib = ctypes.CDLL(_LIB)
         return _lib
 
@@ -88,4 +92,49 @@ class LevelContextEvaluator:
             _fp(self.table), ctypes.c_int32(len(self.table)),
             ctypes.c_float(gaussian.SCALE_BOUND),
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu))
+        return idx, mu
+
+
+class PixelCNNEvaluator:
+    """Native evaluator for a 5-layer masked PixelCNN's patch centers
+    (the ZTsep xe / coarsest-details wavefront paths).
+
+    ``which`` selects the param subtree (``pixelcnn_xe`` or ``pixelcnn_xo``);
+    ``ic`` is the grouped channel count (1*clrch or 3*clrch). Evaluates
+    only the dependency cone of each 11x11 patch center (~10x fewer MAC
+    than the full-patch masked stack) with OpenMP over the diagonal's
+    pixels.
+    """
+
+    def __init__(self, plane_params: Dict, which: str, ic: int):
+        stack = plane_params["entropymodel"][which]
+        self.ic = ic
+        self.ws, self.bs, self.outs = [], [], []
+        for i in range(5):
+            k = np.asarray(stack[f"MaskedConv2d_{i}"]["kernel"], np.float32)
+            kh, kw, in_g, out = k.shape
+            assert (kh, kw) == (3, 3)
+            # (3,3,in_g,out) -> (out, 9, in_g) for unit-stride channel reads
+            self.ws.append(np.ascontiguousarray(
+                k.reshape(9, in_g, out).transpose(2, 0, 1)))
+            self.bs.append(np.ascontiguousarray(
+                np.asarray(stack[f"MaskedConv2d_{i}"]["bias"], np.float32)))
+            self.outs.append(out)
+        self.table = np.ascontiguousarray(
+            gaussian.get_scale_table().astype(np.float32))
+
+    def __call__(self, patches: np.ndarray):
+        """patches (n,11,11,ic) -> (idx (n,ic) i32, mu (n,ic) f32)."""
+        lib = get_lib()
+        n = patches.shape[0]
+        patches = np.ascontiguousarray(patches, np.float32)
+        idx = np.zeros((n, self.ic), np.int32)
+        mu = np.zeros((n, self.ic), np.float32)
+        args = [_fp(patches), ctypes.c_int64(n), ctypes.c_int32(self.ic)]
+        for w, b, o in zip(self.ws, self.bs, self.outs):
+            args += [_fp(w), _fp(b), ctypes.c_int32(o)]
+        args += [_fp(self.table), ctypes.c_int32(len(self.table)),
+                 ctypes.c_float(gaussian.SCALE_BOUND),
+                 idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu)]
+        lib.ztsep_pixelcnn_centers(*args)
         return idx, mu

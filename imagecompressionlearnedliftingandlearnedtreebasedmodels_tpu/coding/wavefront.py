@@ -84,11 +84,20 @@ class ZTSepPlaneCoder:
         self.plane = plane
 
     def code(self, kind: str, level: Optional[int], x_true, shape,
-             decoder: Optional[rans.RansDecoder], con=None
+             decoder: Optional[rans.RansDecoder], con=None,
+             force_evaluator: Optional[str] = None
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Walk the plane. Encode mode when ``x_true`` is given (returns
         symbols/indexes diagonal-major); decode mode consumes ``decoder``.
-        Returns (hat, symbols, indexes)."""
+        Returns (hat, symbols, indexes).
+
+        ``force_evaluator`` pins the context evaluator for the "level" kind
+        ("native" C++ fp32 vs "jax"): the two can differ in the last ulp of
+        sigma/mu, so a stream encoded with one MUST be decoded with the
+        same one — the encoder records its choice in ``PlaneStreams.meta``
+        and the decoder passes it back here. ``self.last_evaluator`` holds
+        the evaluator actually used.
+        """
         coder = self.coder
         if x_true is not None:
             shape = x_true.shape
@@ -109,8 +118,18 @@ class ZTSepPlaneCoder:
         a = (5 // 2 + 1) if kind == "level" else (3 // 2 + 1)
         pad = k // 2
         order = diagonal_order(h, w, a)
-        native = (coder._native_level_eval(self.plane, level)
-                  if kind == "level" else None)
+        native = None
+        if force_evaluator != "jax":
+            native = (coder._native_level_eval(self.plane, level)
+                      if kind == "level"
+                      else coder._native_pixelcnn_eval(self.plane, kind))
+            if native is None and force_evaluator == "native":
+                raise RuntimeError(
+                    "stream was encoded with the native (C++) context "
+                    "evaluator but it is unavailable here — decoding with "
+                    "the jax path could corrupt the plane (last-ulp "
+                    "sigma/mu differences change CDF indexes)")
+        self.last_evaluator = "native" if native is not None else "jax"
         codes_fn = (None if native is not None
                     else coder._entropy_codes_cpu(self.plane, name, *static))
 
@@ -122,8 +141,11 @@ class ZTSepPlaneCoder:
             n = coords.shape[0]
             if native is not None:
                 patches = _gather_patches(padded, coords, k, n)
-                plc_c = plc[0, coords[:, 0], coords[:, 1], :]
-                idx, mu = native(patches, plc_c)
+                if kind == "level":
+                    plc_c = plc[0, coords[:, 0], coords[:, 1], :]
+                    idx, mu = native(patches, plc_c)
+                else:
+                    idx, mu = native(patches)
             else:
                 bucket = _bucket(n)
                 patches = _gather_patches(padded, coords, k, bucket)
@@ -170,13 +192,16 @@ def compress_ztsep(coder, plane: int, xe, xo_list):
                                 coder._gc_lengths, coder._gc_offsets)
         return enc.flush()
 
+    meta = {}
     xe_hat, syms, idxs = walker.code("xe", None, np.asarray(xe), None, None)
+    meta["evaluator_xe"] = walker.last_evaluator
     stream_xe = flush(syms, idxs)
 
     streams_xo: List[bytes] = [b""] * L
     xo_hats: List[np.ndarray] = [None] * L
     hat, syms, idxs = walker.code(
         "coarsest", None, np.asarray(xo_list[L - 1]), None, None)
+    meta["evaluator_coarsest"] = walker.last_evaluator
     xo_hats[L - 1] = hat
     streams_xo[L - 1] = flush(syms, idxs)
     con = hat
@@ -184,10 +209,12 @@ def compress_ztsep(coder, plane: int, xe, xo_list):
         hat, syms, idxs = walker.code(
             "level", i, np.asarray(xo_list[i]), None, None,
             con=jnp.asarray(con))
+        meta[f"evaluator_l{i}"] = walker.last_evaluator
         xo_hats[i] = hat
         streams_xo[i] = flush(syms, idxs)
         con = hat
-    return (PlaneStreams(stream_xe, streams_xo), xo_hats, xe_hat, xo_hats)
+    return (PlaneStreams(stream_xe, streams_xo, meta), xo_hats, xe_hat,
+            xo_hats)
 
 
 def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
@@ -200,16 +227,20 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
         dec.set_stream(data)
         return dec
 
+    meta = getattr(streams, "meta", None) or {}
     xe_hat, _, _ = walker.code("xe", None, None, xe_shape,
-                               stream_dec(streams.xe))
+                               stream_dec(streams.xe),
+                               force_evaluator=meta.get("evaluator_xe"))
     xo_hat: List[np.ndarray] = [None] * L
     xo_hat[L - 1], _, _ = walker.code(
         "coarsest", None, None, xo_shapes[L - 1],
-        stream_dec(streams.xo[L - 1]))
+        stream_dec(streams.xo[L - 1]),
+        force_evaluator=meta.get("evaluator_coarsest"))
     con = xo_hat[L - 1]
     for i in range(L - 2, -1, -1):
         xo_hat[i], _, _ = walker.code(
             "level", i, None, xo_shapes[i], stream_dec(streams.xo[i]),
-            con=jnp.asarray(con))
+            con=jnp.asarray(con),
+            force_evaluator=meta.get(f"evaluator_l{i}"))
         con = xo_hat[i]
     return xe_hat, xo_hat

@@ -1,23 +1,42 @@
-"""Data-parallel training step over a device mesh.
+"""Data-parallel training over a device mesh.
 
-Params are replicated, batches are sharded over the ``data`` axis; XLA
-inserts the gradient psum over ICI. This is the TPU-native replacement for
-the DDP the reference never had (SURVEY.md section 2.4).
+TPU-native replacement for the DDP the reference never had (SURVEY.md
+section 2.4). Two interchangeable step builders:
+
+- :func:`make_dp_train_step` — GSPMD form: the single-chip jitted step is
+  fed a batch sharded over the ``data`` axis with replicated params; XLA
+  partitions the program and inserts the gradient all-reduce over ICI.
+  Bitwise-identical to single-chip execution (same program, same rng).
+- :func:`make_shardmap_train_step` — explicit shard_map form: each device
+  runs the per-shard loss/grad with its own fold_in'd noise rng, grads and
+  metrics are combined with named ``psum``/``pmean`` collectives, and the
+  (replicated) optimizer update is computed identically on every device.
+  This is the production path used by ``train/loop.py`` when
+  ``cfg.mesh_shape`` spans more than one device: per-device rng gives
+  independent quantization noise per shard (better SNR than one broadcast
+  noise tensor), and the collectives are explicit in the program.
+
+Both keep params replicated — the models are <100 MB (SURVEY.md section
+2.4: no TP/PP warranted); scaling axes are batch and image tiles.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..train.state import TrainState, make_train_step
+from ..train.loss import rd_loss3
+from ..train.state import TrainState, apply_color_forward
 from . import mesh as mesh_lib
 
 
 def make_dp_train_step(cfg: Config, model, tx, mesh: Mesh):
-    """Wrap the single-chip train step with mesh shardings."""
+    """GSPMD data parallelism: shard the batch, let XLA insert the psum."""
+    from ..train.state import make_train_step
+
     base_step = make_train_step(cfg, model, tx)
     repl = mesh_lib.replicated(mesh)
     bsh = mesh_lib.batch_sharding(mesh)
@@ -30,3 +49,80 @@ def make_dp_train_step(cfg: Config, model, tx, mesh: Mesh):
         return jax.device_put(state, repl)
 
     return dp_step, shard_state
+
+
+def make_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
+                             axis: str = "data"):
+    """Explicit shard_map data parallelism with named collectives.
+
+    Per device: forward/backward on the local batch shard with an
+    independent noise rng (``fold_in(rng, axis_index)``), then
+    ``pmean(grads)`` over ICI; the optimizer update runs redundantly on
+    every device over the replicated params (standard DP replication —
+    cheaper than a scatter/gather for <100 MB models). Loss metrics are
+    pmean'd so the host sees global-batch values.
+
+    Returns ``(dp_step, shard_state)`` with the same call signature as the
+    single-chip ``make_train_step`` step.
+    """
+    loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(axis))
+
+    def per_device_step(state: TrainState, batch, rng, lr, rate_weight):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            xs, xhat, info_xe, info_xo, aux = apply_color_forward(
+                cfg, model, params, batch, True, rng)
+            out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
+                           rate_weight)
+            return (out.loss + aux) * loss_scale, (out, aux)
+
+        grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        out = jax.tree_util.tree_map(lambda v: jax.lax.pmean(v, axis), out)
+        aux = jax.lax.pmean(aux, axis)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), out, aux
+
+    sharded = jax.shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def dp_step(state: TrainState, batch, rng, lr, rate_weight):
+        return sharded(state, batch, jnp.asarray(rng), jnp.asarray(lr),
+                       jnp.asarray(rate_weight))
+
+    def shard_state(state: TrainState) -> TrainState:
+        return jax.device_put(state, repl)
+
+    def shard_batch(batch):
+        return jax.device_put(batch, bsh)
+
+    dp_step.shard_batch = shard_batch
+    return dp_step, shard_state
+
+
+def make_dp_eval_step(cfg: Config, model, mesh: Mesh, axis: str = "data"):
+    """Evaluation over the mesh: batch sharded over ``data`` when its size
+    divides the mesh, replicated otherwise (the reference validates/tests at
+    batch 1 — ``agents/base.py`` split policy — which cannot shard)."""
+    from ..train.state import make_eval_step
+
+    base = make_eval_step(cfg, model)
+    n_dev = mesh.devices.size
+    bsh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def eval_step(params, batch):
+        sh = bsh if batch.shape[0] % n_dev == 0 else repl
+        return base(params, jax.device_put(batch, sh))
+
+    return eval_step

@@ -37,13 +37,21 @@ class LiftingDWTAgent:
         self.model = CodecWrapper(cfg)
         self.data = ImageDataLoader(cfg)
         self.tx = make_optimizer(cfg)
-        self.train_step = make_train_step(cfg, self.model, self.tx)
-        self.eval_step = make_eval_step(cfg, self.model)
+        self.mesh = self._build_mesh()
+        if self.mesh is not None:
+            from ..parallel import dp
+            self.train_step, self._shard_state = dp.make_shardmap_train_step(
+                cfg, self.model, self.tx, self.mesh)
+            self.eval_step = dp.make_dp_eval_step(cfg, self.model, self.mesh)
+        else:
+            self.train_step = make_train_step(cfg, self.model, self.tx)
+            self.eval_step = make_eval_step(cfg, self.model)
+            self._shard_state = lambda s: s
 
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros(
             (1, max(cfg.patch_size, 32), max(cfg.patch_size, 32), 3))
-        self.state = init_state(cfg, self.model, sample, rng)
+        self.state = self._shard_state(init_state(cfg, self.model, sample, rng))
         self.rng = jax.random.fold_in(rng, 7)
 
         self.scheduler = PlateauScheduler(lr=cfg.learning_rate)
@@ -65,6 +73,26 @@ class LiftingDWTAgent:
         elif cfg.resume_training:
             self.load_checkpoint(cfg.checkpoint_file)
         self.model_size_estimation()
+
+    def _build_mesh(self):
+        """Data-parallel mesh from ``cfg.mesh_shape`` (SURVEY.md section 2.4:
+        shard_map DP over ICI replaces the reference's absent DDP). A
+        1-device shape keeps the plain single-chip step."""
+        import numpy as _np
+
+        n = int(_np.prod(self.cfg.mesh_shape))
+        if n <= 1:
+            return None
+        from ..parallel import mesh as mesh_lib
+
+        if self.cfg.batch_size % n:
+            raise ValueError(
+                f"batch_size {self.cfg.batch_size} not divisible by "
+                f"mesh size {n}")
+        mesh = mesh_lib.make_mesh(n)
+        self.logger.info(f"data-parallel mesh: {n} devices "
+                         f"({self.cfg.batch_size // n} examples/device)")
+        return mesh
 
     # ------------------------------------------------------------------
     def run(self):

@@ -43,3 +43,89 @@ def test_dp_step_matches_single_chip_loss():
                            jnp.asarray(1e-4), jnp.asarray(1.0))
     np.testing.assert_allclose(float(out_single.loss), float(out_dp.loss),
                                rtol=1e-5)
+
+
+def test_shardmap_dp_matches_single_device_oracle():
+    """The explicit shard_map DP step must equal a hand-computed oracle:
+    per-shard grads with fold_in(rng, shard) noise, mean over shards,
+    one optimizer update on the replicated params."""
+    import optax
+
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.models.codec import (
+        CodecWrapper)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.parallel import (
+        dp, mesh as mesh_lib)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loss import (
+        rd_loss3)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+        apply_color_forward, init_state, make_optimizer)
+
+    n = 8
+    cfg = Config(netType="CDF97", entropy_layer="factorized", clrch=3,
+                 dwtlevels=2, lambda_=100.0, batch_size=n)
+    model = CodecWrapper(cfg)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (n, 32, 32, 3))
+    state = init_state(cfg, model, batch, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    rng = jax.random.PRNGKey(2)
+    lr, rate_w = jnp.asarray(1e-4), jnp.asarray(1.0)
+
+    mesh = mesh_lib.make_mesh(n)
+    dp_step, shard_state = dp.make_shardmap_train_step(cfg, model, tx, mesh)
+    new_state, out_dp, aux_dp = dp_step(shard_state(state), batch, rng, lr,
+                                        rate_w)
+
+    # ---- oracle on one logical device ---------------------------------
+    def loss_fn(params, shard, shard_rng):
+        xs, xhat, ixe, ixo, aux = apply_color_forward(
+            cfg, model, params, shard, True, shard_rng)
+        out = rd_loss3(xs, xhat, ixe, ixo, cfg.lambda_, rate_w)
+        return out.loss + aux, out
+
+    grads_acc, losses = None, []
+    for i in range(n):
+        g, out_i = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch[i:i + 1], jax.random.fold_in(rng, i))
+        losses.append(float(out_i.loss))
+        grads_acc = g if grads_acc is None else jax.tree_util.tree_map(
+            jnp.add, grads_acc, g)
+    grads = jax.tree_util.tree_map(lambda v: v / n, grads_acc)
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = lr
+    updates, _ = tx.update(grads, opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(float(out_dp.loss), np.mean(losses),
+                               rtol=2e-5)
+    a = jax.tree_util.tree_leaves(new_state.params)
+    b = jax.tree_util.tree_leaves(ref_params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_agent_trains_on_mesh_from_config(tmp_path):
+    """Agent-level DP: mesh_shape in the config builds the mesh and the
+    shard_map step; a couple of epochs on synthetic data must run and
+    produce finite, decreasing-ish losses."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+
+    import os
+
+    cfg = Config(
+        netType="CDF97", entropy_layer="factorized", clrch=3, dwtlevels=2,
+        lambda_=100.0, batch_size=8, patch_size=32, mesh_shape=(8,),
+        steps_per_epoch=2, max_epoch=2, validate_every=1, loss_prnt_iters=2,
+        training_loss_switch=1)
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.log_dir = str(tmp_path / "logs")
+    cfg.summary_dir = str(tmp_path / "sum")
+    for d in (cfg.checkpoint_dir, cfg.log_dir, cfg.summary_dir):
+        os.makedirs(d, exist_ok=True)
+    agent = LiftingDWTAgent(cfg)
+    assert agent.mesh is not None and agent.mesh.devices.size == 8
+    agent.run()
+    assert np.isfinite(agent.best_valid_loss)

@@ -109,6 +109,106 @@ def tiled_forward(cfg: Config, model, params, x: np.ndarray, mesh: Mesh):
     return untile_image(xhat_tiles, meta)
 
 
+def halo_dwt97_2d(x, mesh: Mesh, levels: int, axis: str = "data"):
+    """Full multi-level 9/7 DWT of an H-sharded NHWC array via shard_map.
+
+    Per level: the row-lifting ladder exchanges single boundary rows with
+    ring ``ppermute`` over ICI (periodization == ring wraparound), column
+    lifting is device-local, and the recursion continues on the (still
+    H-sharded) LL. Matches :func:`..ops.dwt97.dwt97_forward` exactly —
+    same ladder, same coefficients — with zero host gathers.
+
+    Local rows must stay even at every level: H must divide by
+    ``n_devices * 2^levels``. Returns ``(ll, highs)`` in the standard
+    contract, every array H-sharded over the mesh.
+    """
+    from jax import shard_map
+
+    from ..ops import dwt97
+
+    n_dev = mesh.devices.size
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def next_first_row(arr):
+        return jax.lax.ppermute(arr[:, :1], axis, up)
+
+    def prev_last_row(arr):
+        return jax.lax.ppermute(arr[:, -1:], axis, down)
+
+    def lift_rows(xb):
+        s = xb[:, 0::2]
+        d = xb[:, 1::2]
+        d = d + ALPHA * (s + jnp.concatenate(
+            [s[:, 1:], next_first_row(s)], axis=1))
+        s = s + BETA * (jnp.concatenate(
+            [prev_last_row(d), d[:, :-1]], axis=1) + d)
+        d = d + GAMMA * (s + jnp.concatenate(
+            [s[:, 1:], next_first_row(s)], axis=1))
+        s = s + DELTA * (jnp.concatenate(
+            [prev_last_row(d), d[:, :-1]], axis=1) + d)
+        return s * NL, d * NH
+
+    def body(xb):
+        ll = xb
+        highs = []
+        for _ in range(levels):
+            low, high = lift_rows(ll)
+            ll, hl = dwt97.lift97_1d(low, axis=2)
+            lh, hh = dwt97.lift97_1d(high, axis=2)
+            highs.append(dwt97.pack_details(lh, hl, hh))
+        return (ll, *highs)
+
+    spec = P(None, axis)
+    out = shard_map(body, mesh=mesh, in_specs=(spec,),
+                    out_specs=(spec,) * (levels + 1))(x)
+    return out[0], list(out[1:])
+
+
+def halo_idwt97_2d(ll, highs, mesh: Mesh, axis: str = "data"):
+    """Exact inverse of :func:`halo_dwt97_2d` (same sharding contract)."""
+    from jax import shard_map
+
+    from ..ops import dwt97
+
+    n_dev = mesh.devices.size
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def next_first_row(arr):
+        return jax.lax.ppermute(arr[:, :1], axis, up)
+
+    def prev_last_row(arr):
+        return jax.lax.ppermute(arr[:, -1:], axis, down)
+
+    def ilift_rows(low, high):
+        s = low / NL
+        d = high / NH
+        s = s - DELTA * (jnp.concatenate(
+            [prev_last_row(d), d[:, :-1]], axis=1) + d)
+        d = d - GAMMA * (s + jnp.concatenate(
+            [s[:, 1:], next_first_row(s)], axis=1))
+        s = s - BETA * (jnp.concatenate(
+            [prev_last_row(d), d[:, :-1]], axis=1) + d)
+        d = d - ALPHA * (s + jnp.concatenate(
+            [s[:, 1:], next_first_row(s)], axis=1))
+        b, hh, w, c = s.shape
+        return jnp.stack([s, d], axis=2).reshape(b, hh * 2, w, c)
+
+    def body(ll, *highs):
+        for xo in reversed(highs):
+            lh, hl, hh = dwt97.unpack_details(xo)
+            low = dwt97.ilift97_1d(ll, hl, axis=2)
+            high = dwt97.ilift97_1d(lh, hh, axis=2)
+            ll = ilift_rows(low, high)
+        return ll
+
+    spec = P(None, axis)
+    return shard_map(body, mesh=mesh,
+                     in_specs=(spec,) * (len(highs) + 1),
+                     out_specs=spec)(ll, *highs)
+
+
 def halo_lift97_rows(x, mesh: Mesh, axis: str = "data"):
     """9/7 row-lifting of an H-sharded NHWC array via shard_map + ppermute.
 

@@ -90,3 +90,51 @@ def test_tiled_forward_matches_untiled_interior():
         ref_rows = np.asarray(
             xo_full[lvl][0, t * th_l + 4: (t + 1) * th_l - 4])
         np.testing.assert_allclose(interior, ref_rows, atol=1e-4)
+
+
+def test_halo_dwt97_2d_matches_single_chip():
+    """Full multi-level H-sharded transform == ops.dwt97 exactly, plus
+    exact inverse through the sharded synthesis."""
+    mesh = mesh_lib.make_mesh(8)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 128, 32, 3).astype(np.float32))
+    levels = 3
+
+    ll_ref, highs_ref = dwt97.dwt97_forward(x, levels)
+    ll_sh, highs_sh = tiling.halo_dwt97_2d(x, mesh, levels)
+    np.testing.assert_allclose(np.asarray(ll_sh), np.asarray(ll_ref),
+                               atol=1e-4)
+    for a, b in zip(highs_sh, highs_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    back = tiling.halo_idwt97_2d(ll_sh, highs_sh, mesh)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_tiled_bitstream_roundtrip_2k():
+    """2048x2048 image encodes/decodes bit-exactly through per-tile
+    streams (BASELINE config 4 / VERDICT item 7)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.tiled_coder import (
+        TiledCodecCoder)
+
+    cfg = Config(netType="CDF97", entropy_layer="factorized",
+                 autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=3,
+                 filtersize=5, lambda_=100.0)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    # smooth-ish content so symbol magnitudes stay realistic
+    base = rng.rand(1, 64, 64, 3).astype(np.float32)
+    x = np.asarray(jax.image.resize(jnp.asarray(base), (1, 2048, 2048, 3),
+                                    "linear"), np.float32)
+
+    tc = TiledCodecCoder(cfg, model, state.params, n_tiles=8)
+    ts, enc_xhat = tc.compress(x)
+    assert len(ts.tiles) == 8
+    dec_xhat = tc.decompress(ts)
+    np.testing.assert_array_equal(dec_xhat, enc_xhat)  # bit-exact
+
+    res = tc.compress_decompress(x)
+    assert res.xhat.shape == x.shape
+    assert res.bpp > 0 and np.isfinite(res.psnr)

@@ -57,14 +57,56 @@ def main():
         return time.perf_counter() - t0
 
     n1, n2 = 2, 8
-    per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(2))
+    # the tunneled backend is high-variance window to window: 5 rounds,
+    # keep the min (the clean-window estimate), report the spread
+    samples = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(5)]
+    per_iter = min(samples)
+    spread = (max(samples) - min(samples)) / min(samples)
     mp_per_s = (batch * h * w / 1e6) / per_iter
+    extra = {"surrogate_timing_spread": round(spread, 3)}
+    extra.update(bench_real_coding())
     print(json.dumps({
         "metric": "kodak_flagship_surrogate_encdec_throughput",
         "value": round(mp_per_s, 4),
         "unit": "MP/s/chip",
         "vs_baseline": round(mp_per_s / 5.0, 4),
+        "extra": extra,
     }))
+
+
+def bench_real_coding():
+    """Real-bitstream enc+dec seconds/image at Kodak size for the two
+    headline entropy models (tracked so coding-path regressions are visible
+    to the driver; VERDICT round 1 item 8). Untrained nets — throughput,
+    not RD, is the observable. Skippable via BENCH_CODING=0."""
+    import os
+
+    import numpy as np
+
+    if os.environ.get("BENCH_CODING", "1") == "0":
+        return {}
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.codec_coder import (
+        CodecCoder)
+
+    out = {}
+    img = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (1, 512, 768, 3)),
+        np.float32)
+    for name, entropy in (("onlyEZWT", "onlyEZWT"),
+                          ("ztsep", "conditioned2ZTsepSubbands")):
+        cfg = flagship_config(entropy_layer=entropy)
+        model = CodecWrapper(cfg)
+        state = init_state(cfg, model, jnp.zeros((1, 64, 64, 3)),
+                           jax.random.PRNGKey(0))
+        coder = CodecCoder(cfg, model, state.params)
+        times = []
+        for _ in range(2):  # first run pays compiles; keep the min
+            t0 = time.perf_counter()
+            res = coder.compress_decompress(img)
+            times.append(time.perf_counter() - t0)
+        assert np.isfinite(res.psnr)
+        out[f"{name}_coding_s_per_img"] = round(min(times), 2)
+    return out
 
 
 if __name__ == "__main__":

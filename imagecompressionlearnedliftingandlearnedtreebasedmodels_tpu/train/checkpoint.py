@@ -4,6 +4,13 @@ Checkpoint contents mirror the reference's single-file dict: epoch,
 iteration, best validation loss, model params, optimizer state, plus the
 host-side scheduler / loss-switch / logger states. ``model_best`` is kept
 alongside the rolling checkpoint (reference ``agents/base.py:126-128``).
+
+Deliberate deviation: the reference SAVES optimizer/scheduler state but
+skips restoring it on resume (the restore lines are commented out,
+``agents/base.py:74-75``), so a resumed run restarts Adam moments from
+zero. We restore the full optimizer state (``train/loop.py:load_checkpoint``)
+— resuming is then a true continuation; fidelity to the reference's
+accidental reset would only hurt training.
 """
 
 from __future__ import annotations

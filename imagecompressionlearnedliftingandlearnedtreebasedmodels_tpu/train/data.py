@@ -88,6 +88,74 @@ def synthetic_images(n: int, size: int, seed: int = 0) -> List[np.ndarray]:
     return imgs
 
 
+def synthetic_natural_images(n: int, size: int, seed: int = 0
+                             ) -> List[np.ndarray]:
+    """Dead-leaves + 1/f-noise images (uint8 RGB).
+
+    The dead-leaves model (occluding disks with power-law radii) reproduces
+    the scale-invariant edge/region statistics of natural images and is the
+    standard procedural stand-in for photographic training data; low-octave
+    1/f noise adds smooth illumination structure. Used to train RD sweeps
+    hermetically (no image corpus ships with this environment).
+    """
+    rng = np.random.RandomState(seed)
+    imgs = []
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    for _ in range(n):
+        img = np.empty((size, size, 3), np.float32)
+        img[:] = rng.uniform(0.2, 0.8, 3)[None, None]
+        # power-law radii: p(r) ~ r^-3 on [rmin, rmax]
+        rmin, rmax = 4.0, size / 2.0
+        n_disks = 220
+        u = rng.uniform(0, 1, n_disks)
+        radii = rmin * (1 - u * (1 - (rmin / rmax) ** 2)) ** -0.5
+        for r in radii:
+            cy, cx = rng.uniform(0, size, 2)
+            color = rng.uniform(0, 1, 3)
+            y0, y1 = max(0, int(cy - r)), min(size, int(cy + r) + 1)
+            x0, x1 = max(0, int(cx - r)), min(size, int(cx + r) + 1)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            mask = ((yy[y0:y1, x0:x1] - cy) ** 2
+                    + (xx[y0:y1, x0:x1] - cx) ** 2) <= r * r
+            # slight per-disk gradient so regions aren't flat
+            grad = (yy[y0:y1, x0:x1] - cy) / (2.5 * r)
+            for c in range(3):
+                region = img[y0:y1, x0:x1, c]
+                region[mask] = np.clip(color[c] + grad[mask] * 0.15, 0, 1)
+        # 1/f noise per channel (shared spectrum shape, independent phases)
+        f = np.fft.fftfreq(size)
+        rad = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+        rad[0, 0] = 1.0
+        for c in range(3):
+            spec = (rng.normal(size=(size, size))
+                    + 1j * rng.normal(size=(size, size))) / rad
+            noise = np.real(np.fft.ifft2(spec))
+            noise *= 0.06 / (noise.std() + 1e-8)
+            img[..., c] = np.clip(img[..., c] + noise, 0, 1)
+        imgs.append((img * 255).astype(np.uint8))
+    return imgs
+
+
+def write_corpus(out_dir: str, n: int, size: int, seed: int = 0,
+                 kind: str = "natural") -> List[str]:
+    """Materialize a synthetic corpus as PNGs (idempotent)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    gen = (synthetic_natural_images if kind == "natural"
+           else synthetic_images)
+    paths = []
+    want = [os.path.join(out_dir, f"{kind}_{seed}_{i:04d}.png")
+            for i in range(n)]
+    if all(os.path.exists(p) for p in want):
+        return want
+    for p, img in zip(want, gen(n, size, seed)):
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return want
+
+
 class ImageDataLoader:
     """Train/valid/test loaders with the reference's split policy
     (valid and test both read ``test_data``/``valid_data`` at batch 1,

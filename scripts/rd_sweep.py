@@ -1,0 +1,168 @@
+"""Multi-lambda RD sweep with REAL-bitstream evaluation (VERDICT item 3).
+
+No photographic corpus ships in this environment (zero egress), so:
+- training data = dead-leaves + 1/f synthetic corpus
+  (``train/data.py::synthetic_natural_images`` — natural-image statistics)
+- held-out eval = unseen dead-leaves images + matplotlib's bundled
+  ``grace_hopper.jpg`` photograph
+- the comparison anchor = JPEG at matched rates, generated with PIL on the
+  SAME eval images, reported as BD-rate via ``tools/rd_plot.py``
+
+Usage:
+  python scripts/rd_sweep.py --preset cdf97   --lambdas 50,400,2000 --steps 4000
+  python scripts/rd_sweep.py --preset flagship --lambdas 400,2000   --steps 8000
+
+Writes results to ``results/rd_<preset>.json`` after EVERY lambda (safe to
+interrupt) and trains on whatever backend jax selects (TPU under the
+driver).
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def build_dirs(root: str):
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.data import (
+        write_corpus)
+
+    train_dir = os.path.join(root, "data", "corpus_train")
+    eval_dir = os.path.join(root, "data", "corpus_eval")
+    write_corpus(train_dir, 160, 256, seed=0)
+    write_corpus(eval_dir, 4, 256, seed=9999)
+    # the one real photograph available in this environment
+    try:
+        import matplotlib
+        from PIL import Image
+
+        src = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                           "sample_data", "grace_hopper.jpg")
+        dst = os.path.join(eval_dir, "grace_hopper.png")
+        if os.path.exists(src) and not os.path.exists(dst):
+            img = np.asarray(Image.open(src).convert("RGB"))
+            h, w, _ = img.shape
+            img = img[: h - h % 64, : w - w % 64]
+            Image.fromarray(img).save(dst)
+    except Exception as e:
+        print("grace_hopper unavailable:", e)
+    return train_dir, eval_dir
+
+
+def jpeg_anchor(eval_dir: str):
+    """(bpp, psnr) averaged over the eval set per JPEG quality."""
+    from PIL import Image
+
+    files = sorted(os.path.join(eval_dir, f) for f in os.listdir(eval_dir)
+                   if f.endswith(".png"))
+    points = []
+    for q in (5, 10, 15, 20, 30, 40, 50, 60, 70, 80, 90, 95):
+        bpps, psnrs = [], []
+        for f in files:
+            img = np.asarray(Image.open(f).convert("RGB"))
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=q)
+            dec = np.asarray(Image.open(buf).convert("RGB"))
+            h, w, _ = img.shape
+            bpps.append(len(buf.getvalue()) * 8.0 / (h * w))
+            mse = np.mean((img.astype(np.float64) / 255
+                           - dec.astype(np.float64) / 255) ** 2)
+            psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+        points.append((float(np.mean(bpps)), float(np.mean(psnrs))))
+    return points
+
+
+def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
+             eval_dir: str, root: str):
+    from __graft_entry__ import flagship_config
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+
+    exp = os.path.join(root, "experiments", "rd_sweep", preset,
+                       f"lam_{lam:g}")
+    steps_per_epoch = 500
+    common = dict(
+        lambda_=lam, learning_rate=1e-4, batch_size=8, patch_size=64,
+        steps_per_epoch=steps_per_epoch,
+        max_epoch=max(1, steps // steps_per_epoch),
+        validate_every=10 ** 9,  # no mid-run validation; test at the end
+        loss_prnt_iters=250, training_loss_switch=1,
+        train_data_1=train_dir, test_data=eval_dir, valid_data=eval_dir,
+        test_patch_size=0, val_patch_size=256,
+        dtype="bfloat16")
+    if preset == "flagship":
+        cfg = flagship_config(**common)
+    elif preset == "cdf97":
+        cfg = Config(netType="CDF97", entropy_layer="factorized",
+                     autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=4,
+                     **common)
+    else:
+        raise ValueError(preset)
+    cfg.checkpoint_dir = os.path.join(exp, "checkpoints")
+    cfg.log_dir = os.path.join(exp, "logs")
+    cfg.summary_dir = os.path.join(exp, "summaries")
+    for d in (cfg.checkpoint_dir, cfg.log_dir, cfg.summary_dir):
+        os.makedirs(d, exist_ok=True)
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=("cdf97", "flagship"),
+                    required=True)
+    ap.add_argument("--lambdas", type=str, required=True)
+    ap.add_argument("--steps", type=int, default=4000)
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    train_dir, eval_dir = build_dirs(root)
+    os.makedirs(os.path.join(root, "results"), exist_ok=True)
+    out_path = os.path.join(root, "results", f"rd_{args.preset}.json")
+    results = {}
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+
+    results.setdefault("jpeg_anchor", jpeg_anchor(eval_dir))
+    results.setdefault("points", {})
+    results["eval_set"] = sorted(os.listdir(eval_dir))
+    results["steps"] = args.steps
+
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+
+    for lam in (float(v) for v in args.lambdas.split(",")):
+        t0 = time.time()
+        cfg = make_cfg(args.preset, lam, args.steps, train_dir, eval_dir,
+                       root)
+        agent = LiftingDWTAgent(cfg)
+        agent.run()                      # train (crash-saves on error)
+        agent.save_checkpoint(is_best=True)
+        psnr, bpp = agent.test()         # REAL bitstream enc+dec
+        results["points"][f"{lam:g}"] = {
+            "bpp": bpp, "psnr": psnr,
+            "train_minutes": round((time.time() - t0) / 60, 1)}
+        json.dump(results, open(out_path, "w"), indent=1)
+        print(f"lambda={lam:g}: {bpp:.4f} bpp @ {psnr:.2f} dB "
+              f"({results['points'][f'{lam:g}']['train_minutes']} min)")
+
+    # BD-rate vs the self-computed JPEG anchor on the same eval set
+    pts = sorted((v["bpp"], v["psnr"]) for v in results["points"].values())
+    if len(pts) >= 3:
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot import (
+            bd_rate)
+
+        ja = sorted(results["jpeg_anchor"])
+        results["bd_rate_vs_jpeg_pct"] = bd_rate(
+            [p[0] for p in ja], [p[1] for p in ja],
+            [p[0] for p in pts], [p[1] for p in pts])
+        json.dump(results, open(out_path, "w"), indent=1)
+        print("BD-rate vs JPEG:", results["bd_rate_vs_jpeg_pct"], "%")
+
+
+if __name__ == "__main__":
+    main()

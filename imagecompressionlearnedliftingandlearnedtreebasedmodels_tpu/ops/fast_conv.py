@@ -16,6 +16,7 @@ when bf16 compute is enabled.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,118 @@ def conv3x3_im2colT(x, kernel, bias=None, dtype=jnp.bfloat16):
     if bias is not None:
         y = y + bias
     return y
+
+
+def _s2d_index_map():
+    """Static index map for the 5x5 -> (3x3 over 2x2 phases) kernel remap.
+
+    For output phase (i,j), input phase (a,b) and block offset (du,dv) in
+    {-1,0,1}^2, the contributing original tap is (u,v) with
+    ``u = 2*du + 2 + a - i`` (rows; same for columns) when 0<=u,v<5, else
+    none. Returns (3,3,2,2,2,2) int32 of flattened tap ids, 25 = "zero".
+    """
+    import numpy as np
+
+    idx = np.full((3, 3, 2, 2, 2, 2), 25, np.int32)  # du,dv,a,b,i,j
+    for du in range(3):
+        for dv in range(3):
+            for a in range(2):
+                for b in range(2):
+                    for i in range(2):
+                        for j in range(2):
+                            u = 2 * (du - 1) + 2 + a - i
+                            v = 2 * (dv - 1) + 2 + b - j
+                            if 0 <= u < 5 and 0 <= v < 5:
+                                idx[du, dv, a, b, i, j] = u * 5 + v
+    return idx
+
+
+_S2D_IDX = _s2d_index_map()
+
+
+def s2d_kernel_5x5(kernel, dtype=None):
+    """(5,5,Cin,Cout) -> (3,3,4*Cin,4*Cout) polyphase-equivalent kernel.
+
+    Channel layouts: in_flat = (a*2+b)*Cin + c, out_flat = (i*2+j)*Cout + o
+    (matching :func:`space_to_depth2`).
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    if dtype is not None:
+        kernel = kernel.astype(dtype)
+    kpad = jnp.concatenate(
+        [kernel.reshape(25, cin, cout),
+         jnp.zeros((1, cin, cout), kernel.dtype)], axis=0)
+    k2 = kpad[_S2D_IDX]                     # (3,3,2,2,2,2,cin,cout)
+    k2 = k2.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # du,dv,a,b,c,i,j,o
+    return k2.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def space_to_depth2(x):
+    """(B,H,W,C) -> (B,H/2,W/2,4C), phase-major channel layout."""
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return xr.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(y):
+    """Inverse of :func:`space_to_depth2`."""
+    b, h2, w2, c4 = y.shape
+    c = c4 // 4
+    yr = y.reshape(b, h2, w2, 2, 2, c)
+    return yr.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 * 2, w2 * 2, c)
+
+
+def conv5x5_s2d(x, kernel, bias=None, dtype=jnp.bfloat16):
+    """SAME 5x5 conv, NHWC, via the space-to-depth polyphase identity.
+
+    A stride-1 5x5 conv over narrow channels (the lifting P/U blocks run
+    1->32->32->1 at full resolution) leaves the MXU mostly idle: the
+    contraction axis is 25*Cin <= 800 and the output axis Cout <= 32.
+    Decomposing the image into 2x2 polyphase components turns it into an
+    exactly-equivalent 3x3 conv with 4x the channels (128 wide) on 1/4 the
+    spatial positions — same FLOPs, MXU-aligned operands. Exact in fp32;
+    with ``dtype=bfloat16`` the matmuls run at bf16 like every other heavy
+    conv stack here. Requires even H and W (guaranteed along the lifting
+    ladder; callers fall back to ``nn.Conv`` otherwise).
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xs = space_to_depth2(x.astype(dtype))
+    k2 = s2d_kernel_5x5(kernel, dtype)
+    ys = jax.lax.conv_general_dilated(
+        xs, k2, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = depth_to_space2(ys)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class FastConv5x5(nn.Module):
+    """Drop-in for ``nn.Conv(features, (5,5), padding='SAME')`` using the
+    space-to-depth polyphase path. Param names/shapes identical to
+    ``nn.Conv`` (kernel (5,5,Cin,Cout), bias (Cout,)) so checkpoints and
+    the weight importer are layout-compatible."""
+
+    features: int
+    dtype: object = jnp.bfloat16
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return y + bias if bias is not None else y
+        return conv5x5_s2d(x, kernel, bias, self.dtype)
 
 
 class FastConv3x3(nn.Module):

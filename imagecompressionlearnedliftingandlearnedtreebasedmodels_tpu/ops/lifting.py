@@ -64,8 +64,17 @@ class PBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = (self.filtersize, self.filtersize)
-        conv = lambda f: nn.Conv(f, k, padding="SAME",  # noqa: E731
-                                 dtype=self.dtype)
+        names = iter(f"Conv_{i}" for i in range(4))
+        if self.dtype is not None and self.filtersize == 5:
+            # MXU path: 5x5 narrow-channel convs as polyphase 3x3 with 4x
+            # channels (ops/fast_conv.py::conv5x5_s2d) — exactly equivalent.
+            # Names pinned to Conv_i so param paths match the nn.Conv form.
+            from .fast_conv import FastConv5x5
+            conv = lambda f: FastConv5x5(  # noqa: E731
+                f, dtype=self.dtype, name=next(names))
+        else:
+            conv = lambda f: nn.Conv(f, k, padding="SAME",  # noqa: E731
+                                     dtype=self.dtype, name=next(names))
         out_res = conv(self.hidden)(x)
         t = jnp.tanh(out_res) if self.nonlinear else out_res
         t = conv(self.hidden)(t)
@@ -196,24 +205,35 @@ class LiftStage(nn.Module):
 
 
 def lift_level_forward(stage: LiftStage, x):
-    """One 2D level: rows then columns (reference wavelet_forward_v2.py:26-54)."""
+    """One 2D level: rows then columns (reference wavelet_forward_v2.py:26-54).
+
+    The two column passes (over L and over H) use the SAME stage modules,
+    so they are batched into one call along the batch axis — numerically
+    identical, half the conv dispatches, double the per-conv batch for the
+    MXU.
+    """
     L, H = stage.forward(*_split_rows(x))
     # columns: transpose H<->W so the 3-tap skip convs act along the lifted axis
-    Lt = jnp.swapaxes(L, 1, 2)
-    ll_t, hl_t = stage.forward(*_split_rows(Lt))
-    Ht = jnp.swapaxes(H, 1, 2)
-    lh_t, hh_t = stage.forward(*_split_rows(Ht))
-    ll = jnp.swapaxes(ll_t, 1, 2)
-    hl = jnp.swapaxes(hl_t, 1, 2)
-    lh = jnp.swapaxes(lh_t, 1, 2)
-    hh = jnp.swapaxes(hh_t, 1, 2)
+    b = x.shape[0]
+    T = jnp.concatenate([jnp.swapaxes(L, 1, 2), jnp.swapaxes(H, 1, 2)],
+                        axis=0)
+    lo_t, hi_t = stage.forward(*_split_rows(T))
+    ll = jnp.swapaxes(lo_t[:b], 1, 2)
+    hl = jnp.swapaxes(hi_t[:b], 1, 2)
+    lh = jnp.swapaxes(lo_t[b:], 1, 2)
+    hh = jnp.swapaxes(hi_t[b:], 1, 2)
     return ll, lh, hl, hh
 
 
 def lift_level_inverse(stage: LiftStage, ll, lh, hl, hh):
-    """Exact inverse of :func:`lift_level_forward`."""
-    ll_t, hl_t = jnp.swapaxes(ll, 1, 2), jnp.swapaxes(hl, 1, 2)
-    L = jnp.swapaxes(_merge_rows(*stage.inverse(ll_t, hl_t)), 1, 2)
-    lh_t, hh_t = jnp.swapaxes(lh, 1, 2), jnp.swapaxes(hh, 1, 2)
-    H = jnp.swapaxes(_merge_rows(*stage.inverse(lh_t, hh_t)), 1, 2)
+    """Exact inverse of :func:`lift_level_forward` (column passes batched
+    the same way)."""
+    b = ll.shape[0]
+    lo_t = jnp.concatenate(
+        [jnp.swapaxes(ll, 1, 2), jnp.swapaxes(lh, 1, 2)], axis=0)
+    hi_t = jnp.concatenate(
+        [jnp.swapaxes(hl, 1, 2), jnp.swapaxes(hh, 1, 2)], axis=0)
+    merged = _merge_rows(*stage.inverse(lo_t, hi_t))
+    L = jnp.swapaxes(merged[:b], 1, 2)
+    H = jnp.swapaxes(merged[b:], 1, 2)
     return _merge_rows(*stage.inverse(L, H))

@@ -38,3 +38,45 @@ def test_fast_conv_module_param_compat():
     for a, b in zip(jax.tree_util.tree_leaves(vf),
                     jax.tree_util.tree_leaves(vr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_conv5x5_s2d_matches_nn_conv():
+    """Polyphase 5x5 must be EXACT in fp32 (same FLOPs, reordered)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+        conv5x5_s2d)
+
+    rng = np.random.RandomState(1)
+    for cin, cout, h, w in ((1, 32, 16, 24), (32, 32, 8, 12), (3, 5, 6, 6)):
+        x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+        kernel = jnp.asarray(
+            rng.randn(5, 5, cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+        ref = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        out = conv5x5_s2d(x, kernel, bias, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        out_bf16 = conv5x5_s2d(x, kernel, bias, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(ref),
+                                   atol=0.05 * max(1.0, cin ** 0.5))
+
+
+def test_fast_conv5x5_module_param_compat_and_odd_fallback():
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+        FastConv5x5)
+
+    x = jnp.zeros((1, 8, 8, 4))
+    fast = FastConv5x5(6, dtype=jnp.float32)
+    ref = nn.Conv(6, (5, 5), padding="SAME")
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    sf = jax.tree_util.tree_map(lambda a: a.shape, vf)
+    sr = jax.tree_util.tree_map(lambda a: a.shape, vr)
+    assert sf == sr
+    # odd spatial dims take the plain-conv fallback; same params, same out
+    rng = np.random.RandomState(2)
+    xo = jnp.asarray(rng.randn(1, 7, 9, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(vf, xo)), np.asarray(ref.apply(vf, xo)),
+        atol=1e-5)

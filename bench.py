@@ -20,6 +20,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
+
+enable_compile_cache()
+
 sys.path.insert(0, ".")
 
 from __graft_entry__ import flagship_config  # noqa: E402

@@ -48,6 +48,8 @@ def _aggregate_results(cfg, agents, experiments_root="experiments"):
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 1:
         print(__doc__)

@@ -20,6 +20,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
+
+enable_compile_cache()
+
 from __graft_entry__ import flagship_config  # noqa: E402
 from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.models.codec import (  # noqa: E402
     CodecWrapper)

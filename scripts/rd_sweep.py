@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
+
+enable_compile_cache()
+
 
 def build_dirs(root: str):
     from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.data import (

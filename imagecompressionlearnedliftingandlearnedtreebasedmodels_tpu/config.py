@@ -111,6 +111,11 @@ class Config:
     test_data: str = ""
     valid_data: str = ""
 
+    # --- entropy-model options -------------------------------------------
+    zt_upsample: str = "nearest"    # "learned" = ZeroTreePreviousLayer
+    #   parent upsampling in onlyEZWT (reference graphs/layers/upscaling.py,
+    #   never enabled by its live configs)
+
     # --- TPU execution (new; no reference equivalent, SURVEY.md §2.4) ----
     mesh_shape: Sequence[int] = (1,)    # data-parallel mesh axes
     mesh_axis_names: Sequence[str] = ("data",)
@@ -141,6 +146,8 @@ class Config:
             raise ValueError(f"block_property {self.block_property!r} not in {BLOCK_PROPERTIES}")
         if self.clrch not in (1, 3):
             raise ValueError("clrch must be 1 or 3")
+        if self.zt_upsample not in ("nearest", "learned"):
+            raise ValueError("zt_upsample must be 'nearest' or 'learned'")
         if self.dwtlevels < 1:
             raise ValueError("dwtlevels must be >= 1")
         return self

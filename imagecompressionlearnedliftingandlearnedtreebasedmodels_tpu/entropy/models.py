@@ -135,7 +135,12 @@ class FactorizedEntropy(nn.Module):
 
 class OnlyEZWT(nn.Module):
     """Zerotree-only conditioning (onlyEZWT): LL + coarsest details are
-    factorized; finer details get (mu, sigma) from the upsampled parent."""
+    factorized; finer details get (mu, sigma) from the upsampled parent.
+
+    ``cfg.zt_upsample = "learned"`` swaps the nearest-neighbor parent
+    upsampling for the learned ``ZeroTreePreviousLayer`` (the reference's
+    ``graphs/layers/upscaling.py``, which its live models never enable);
+    deterministic, so coding round trips stay bit-exact."""
 
     cfg: Config
 
@@ -148,6 +153,16 @@ class OnlyEZWT(nn.Module):
         self.plc = [
             _ConvStack(features=(wide, wide, 2 * 3 * c), kernels=(3, 3, 1))
             for _ in range(L - 1)]
+        if getattr(self.cfg, "zt_upsample", "nearest") == "learned":
+            from ..ops.upscaling import ZeroTreePreviousLayer
+            self.ups = [ZeroTreePreviousLayer(3 * c, 3 * c)
+                        for _ in range(L - 1)]
+
+    def _up(self, i: int, parent_q):
+        """Parent->child context upsampling feeding ``self.plc[i]``."""
+        if getattr(self.cfg, "zt_upsample", "nearest") == "learned":
+            return self.ups[i](parent_q)
+        return upsample2(parent_q)
 
     def __call__(self, xe, xo_list, training: bool = True):
         L = self.cfg.dwtlevels
@@ -157,20 +172,21 @@ class OnlyEZWT(nn.Module):
         xo_qnt: List = [None] * L
         q, lik = self.eb_xo(xo_list[L - 1], training)
         xo_qnt[L - 1], info_xo[L - 1] = q, -jnp.log2(lik)
-        con = upsample2(q)
+        con = self._up(L - 2, q)
         for i in range(L - 2, -1, -1):
             sigma, mu = _split_sigma_mu(self.plc[i](con))
             rng = self.make_rng("noise") if training else None
             q, info = gaussian.self_information_bits(
                 xo_list[i], sigma, mu, training, rng)
             xo_qnt[i], info_xo[i] = q, info
-            con = upsample2(q)
+            if i > 0:
+                con = self._up(i - 1, q)
         return info_xe, info_xo, xe_qnt, xo_qnt
 
     def level_params_from_parent(self, i: int, parent_hat):
         """(sigma, mu) for finer level i from the decoded parent details —
         the coding path's whole-tensor parameter pass (no AR)."""
-        return _split_sigma_mu(self.plc[i](upsample2(parent_hat)))
+        return _split_sigma_mu(self.plc[i](self._up(i, parent_hat)))
 
     def aux_loss(self):
         return self.eb_xe.aux_loss() + self.eb_xo.aux_loss()

@@ -18,10 +18,10 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state imp
     init_state)
 
 
-def _setup(entropy_layer, clrch=3, dwtlevels=2, size=32):
+def _setup(entropy_layer, clrch=3, dwtlevels=2, size=32, **kw):
     cfg = Config(netType="CDF97", entropy_layer=entropy_layer,
                  autoencoder="SubbandAutoEncoder", clrch=clrch,
-                 dwtlevels=dwtlevels, lambda_=100.0)
+                 dwtlevels=dwtlevels, lambda_=100.0, **kw)
     model = CodecWrapper(cfg)
     state = init_state(cfg, model, jnp.zeros((1, size, size, 3)),
                        jax.random.PRNGKey(0))
@@ -89,3 +89,13 @@ def test_full_compress_decompress_ycbcr_ztsep():
     cfg, coder, img = _setup("conditioned2ZTsepSubbands", clrch=1, size=16)
     res = coder.compress_decompress(img)
     assert res.bpp > 0 and np.isfinite(res.psnr)
+
+
+def test_onlyezwt_learned_upsampler_roundtrip():
+    """zt_upsample="learned" (ZeroTreePreviousLayer parent context) must
+    still round-trip bit-exactly — the upsampler is deterministic and runs
+    identically on encode and decode."""
+    cfg, coder, img = _setup("onlyEZWT", dwtlevels=3, zt_upsample="learned")
+    em = coder.params["codec"]["entropymodel"]
+    assert "ups_0" in em and "ups_1" in em  # learned path actually active
+    _roundtrip_subbands(cfg, coder, img)

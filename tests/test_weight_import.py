@@ -30,6 +30,12 @@ def _fake_state_dict(cfg, params):
         elif kind == "convT":
             shape = (target.shape[2], target.shape[3],
                      target.shape[0], target.shape[1])
+        elif isinstance(kind, tuple) and kind[0] == "convT":
+            # grouped ConvTranspose2d: torch stores (I, O/g, kh, kw);
+            # flax grouped kernel is (kh, kw, I/g, O)
+            g = kind[1]
+            kh, kw, i_per_g, o_total = target.shape
+            shape = (i_per_g * g, o_total // g, kh, kw)
         elif kind == "skip":
             shape = (1, 1, 3, 1)
         elif kind == "flat1":

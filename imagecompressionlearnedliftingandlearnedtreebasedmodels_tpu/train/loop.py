@@ -183,13 +183,29 @@ class LiftingDWTAgent:
 
     def test(self):
         """Real encode+decode with the bitstream path (reference
-        ``agents/liftingDWT_agent.py:262-311``)."""
+        ``agents/liftingDWT_agent.py:262-311``). ``cfg.tile_size > 0``
+        switches to per-tile streams (high-res images; SURVEY.md section 5
+        resolution scaling) — tiles whose height divides the image."""
         from ..coding.codec_coder import CodecCoder
 
         coder = CodecCoder(self.cfg, self.model, self.state.params)
+        tiled_cache = {}
+
+        def run_one(img: np.ndarray):
+            h = img.shape[1]
+            if self.cfg.tile_size and h > self.cfg.tile_size \
+                    and h % self.cfg.tile_size == 0:
+                n = h // self.cfg.tile_size
+                if n not in tiled_cache:
+                    from ..coding.tiled_coder import TiledCodecCoder
+                    tiled_cache[n] = TiledCodecCoder(
+                        self.cfg, self.model, self.state.params, n_tiles=n)
+                return tiled_cache[n].compress_decompress(img)
+            return coder.compress_decompress(img)
+
         psnrs, bpps = [], []
         for batch in self.data.test_batches():
-            res = coder.compress_decompress(np.asarray(batch))
+            res = run_one(np.asarray(batch))
             psnrs.append(res.psnr)
             bpps.append(res.bpp)
             self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)

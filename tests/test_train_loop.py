@@ -116,3 +116,22 @@ def test_agent_train_validate_checkpoint(tmp_path):
     cfg2.resume_training = True
     agent2 = LiftingDWTAgent(cfg2)
     assert agent2.current_epoch == agent.current_epoch
+
+def test_agent_test_mode_tiles_highres(tmp_path):
+    """cfg.tile_size routes large test images through per-tile bitstreams
+    (TiledCodecCoder); small images keep the whole-image coder."""
+    from PIL import Image
+
+    data_dir = tmp_path / "imgs"
+    os.makedirs(data_dir)
+    img = synthetic_images(1, 128, seed=5)[0]
+    Image.fromarray(img).save(str(data_dir / "big.png"))
+    cfg = _tiny_cfg(test_data=str(data_dir), valid_data=str(data_dir),
+                    tile_size=32, test_patch_size=0)
+    cfg.log_dir = str(tmp_path / "logs")
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+    agent = LiftingDWTAgent(cfg)
+    psnr, bpp = agent.test()
+    assert np.isfinite(psnr) and bpp > 0

@@ -115,11 +115,14 @@ def conv5x5_s2d(x, kernel, bias=None, dtype=jnp.bfloat16):
     cout = kernel.shape[-1]
     xs = space_to_depth2(x.astype(dtype))
     k2 = s2d_kernel_5x5(kernel, dtype)
+    # output in the compute dtype, fp32 cast after (nn.Conv's convention):
+    # a preferred_element_type=fp32 output here would feed an fp32
+    # cotangent into the conv transpose rule against bf16 operands, which
+    # lax.conv rejects under jax.grad
     ys = jax.lax.conv_general_dilated(
         xs, k2, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = depth_to_space2(ys)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = depth_to_space2(ys).astype(jnp.float32)
     if bias is not None:
         y = y + bias
     return y
@@ -145,8 +148,8 @@ class FastConv5x5(nn.Module):
         if x.shape[1] % 2 or x.shape[2] % 2:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
-                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ).astype(jnp.float32)
             return y + bias if bias is not None else y
         return conv5x5_s2d(x, kernel, bias, self.dtype)
 

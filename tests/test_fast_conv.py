@@ -80,3 +80,24 @@ def test_fast_conv5x5_module_param_compat_and_odd_fallback():
     np.testing.assert_allclose(
         np.asarray(fast.apply(vf, xo)), np.asarray(ref.apply(vf, xo)),
         atol=1e-5)
+
+
+def test_fast_conv5x5_differentiable_bf16():
+    """jax.grad must flow through the bf16 polyphase conv (the flagship
+    TRAIN step hit a conv-transpose dtype mismatch when the forward
+    produced an fp32 output from bf16 operands)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+        FastConv5x5)
+
+    x = jnp.ones((1, 8, 8, 2))
+    mod = FastConv5x5(4, dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return jnp.sum(mod.apply(params, x) ** 2)
+
+    g = jax.grad(loss)(v, x)
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree_util.tree_leaves(g))
+    gx = jax.grad(loss, argnums=1)(v, x)
+    assert np.isfinite(np.asarray(gx)).all()

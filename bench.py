@@ -93,10 +93,16 @@ def bench_real_coding():
     from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.codec_coder import (
         CodecCoder)
 
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.data import (
+        synthetic_natural_images)
+
     out = {}
-    img = np.asarray(
-        jax.random.uniform(jax.random.PRNGKey(2), (1, 512, 768, 3)),
-        np.float32)
+    # natural-statistics content (dead-leaves + 1/f): uniform noise is
+    # max-entropy and pathological for the coder (every symbol near the
+    # escape range), which over-reports coding time vs photographic input
+    img = np.asarray(synthetic_natural_images(1, 512, seed=2)[0],
+                     np.float32)[None] / 255.0
+    img = np.concatenate([img, img[:, :, :256]], axis=2)  # (1,512,768,3)
     for name, entropy in (("onlyEZWT", "onlyEZWT"),
                           ("ztsep", "conditioned2ZTsepSubbands")):
         cfg = flagship_config(entropy_layer=entropy)

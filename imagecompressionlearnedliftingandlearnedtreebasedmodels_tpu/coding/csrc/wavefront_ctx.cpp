@@ -21,10 +21,11 @@ namespace {
 
 constexpr float kLReLU = 0.01f;
 
-inline void grouped_matmul_lrelu(const float* x, int in_total,
-                                 const float* w, const float* b,
+inline void grouped_matmul_lrelu(const float* __restrict__ x, int in_total,
+                                 const float* __restrict__ w,
+                                 const float* __restrict__ b,
                                  int out_total, int groups, bool act,
-                                 float* y) {
+                                 float* __restrict__ y) {
   // w layout: (out_total, in_per_g) — pre-transposed by the Python binding
   // for unit-stride weight reads (the flax kernel layout (in, out) strides
   // by out_total per tap, which is cache-hostile here).
@@ -35,6 +36,7 @@ inline void grouped_matmul_lrelu(const float* x, int in_total,
     const float* xg = x + g * in_g;
     const float* wo = w + static_cast<int64_t>(o) * in_g;
     float acc = b ? b[o] : 0.0f;
+#pragma omp simd reduction(+ : acc)
     for (int i = 0; i < in_g; ++i) {
       acc += xg[i] * wo[i];
     }
@@ -171,9 +173,11 @@ inline void pixelcnn_layer(const float* prev, int layer, int groups,
           const int tap = taps[t];
           const int rr = r + tap / 3 - 1;
           const int cc = c + tap % 3 - 1;
-          const float* x = prev + (rr * kP + cc) * L.in_ch + g * in_g;
-          const float* wt = wo + tap * in_g;
+          const float* __restrict__ x =
+              prev + (rr * kP + cc) * L.in_ch + g * in_g;
+          const float* __restrict__ wt = wo + tap * in_g;
           float s = 0.0f;
+#pragma omp simd reduction(+ : s)
           for (int i = 0; i < in_g; ++i) s += x[i] * wt[i];
           acc += s;
         }

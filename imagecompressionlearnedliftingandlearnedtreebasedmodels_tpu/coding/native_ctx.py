@@ -32,7 +32,11 @@ def get_lib() -> ctypes.CDLL:
             return _lib
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            # -ffast-math lets gcc vectorize the FMA reduction loops
+            # (8-16x here); deterministic for a given binary, and encoder/
+            # decoder consistency is guarded by PlaneStreams.meta tagging
+            cmd = ["g++", "-O3", "-march=native", "-ffast-math",
+                   "-funroll-loops", "-shared", "-fPIC",
                    "-std=c++17", "-fopenmp", "-o", _LIB, _SRC]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)

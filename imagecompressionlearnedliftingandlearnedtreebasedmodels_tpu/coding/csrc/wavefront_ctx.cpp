@@ -44,6 +44,37 @@ inline void grouped_matmul_lrelu(const float* __restrict__ x, int in_total,
   }
 }
 
+// Batched form over a whole diagonal: activations live transposed as
+// (channels, n) so the n centers are the unit-stride SIMD axis and every
+// weight is read ONCE per diagonal instead of once per center (the
+// per-center form is L2-bandwidth-bound on the 315 KB cgp layer-1 weights).
+inline void grouped_gemm_lrelu_T(const float* __restrict__ xT, int in_total,
+                                 const float* __restrict__ w,
+                                 const float* __restrict__ b,
+                                 int out_total, int groups, bool act,
+                                 int64_t n, float* __restrict__ yT) {
+  const int in_g = in_total / groups;
+  const int out_g = out_total / groups;
+  for (int o = 0; o < out_total; ++o) {
+    const int g = o / out_g;
+    const float* wo = w + static_cast<int64_t>(o) * in_g;
+    float* yrow = yT + static_cast<int64_t>(o) * n;
+    const float bias = b ? b[o] : 0.0f;
+    for (int64_t p = 0; p < n; ++p) yrow[p] = bias;
+    const float* xbase = xT + static_cast<int64_t>(g) * in_g * n;
+    for (int i = 0; i < in_g; ++i) {
+      const float wv = wo[i];
+      const float* __restrict__ xrow = xbase + static_cast<int64_t>(i) * n;
+#pragma omp simd
+      for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
+    }
+    if (act) {
+      for (int64_t p = 0; p < n; ++p)
+        yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -68,8 +99,6 @@ void ztsep_level_centers(
     int32_t* idx_out, float* mu_out) {
   const int wide = so * 81;          // csc output channels
   const int fused_n = 2 * wide;      // interleaved plc/csc blocks
-  std::vector<float> csc(wide), fused(fused_n);
-  std::vector<float> h1(out1), h2(out2), h3(out3), h4(out4);
 
   // mask-A over 5x5: rows 0,1 full; row 2 cols 0,1
   int mask_pos[12];
@@ -79,10 +108,18 @@ void ztsep_level_centers(
   mask_pos[nm++] = 2 * 5 + 0;
   mask_pos[nm++] = 2 * 5 + 1;
 
+  // whole-diagonal batch, activations transposed to (channels, n)
+  std::vector<float> fusedT(static_cast<size_t>(fused_n) * n);
+  std::vector<float> h1T(static_cast<size_t>(out1) * n);
+  std::vector<float> h2T(static_cast<size_t>(out2) * n);
+  std::vector<float> h3T(static_cast<size_t>(out3) * n);
+  std::vector<float> h4T(static_cast<size_t>(out4) * n);
+
+  // csc centers + plc straight into the fused transposed layout:
+  // group g rows [g*162, g*162+81) = plc_g, [g*162+81, g*162+162) = csc_g
   for (int64_t p = 0; p < n; ++p) {
     const float* patch = patches + p * 25 * so;
-    // csc center: out channel o in group g uses input channel g only.
-    // csc_w pre-transposed to (wide, 25) for unit-stride tap reads.
+    const float* plc_p = plc + p * wide;
     for (int o = 0; o < wide; ++o) {
       const int g = o / 81;
       const float* wo = csc_w + static_cast<int64_t>(o) * 25;
@@ -91,27 +128,29 @@ void ztsep_level_centers(
         const int pos = mask_pos[m];
         acc += patch[pos * so + g] * wo[pos];
       }
-      csc[o] = acc;
+      fusedT[(static_cast<int64_t>(g) * 162 + 81 + o % 81) * n + p] = acc;
     }
-    // fuse: per group [plc_g(81), csc_g(81)]
-    const float* plc_p = plc + p * wide;
+    for (int g = 0; g < so; ++g)
+      for (int i = 0; i < 81; ++i)
+        fusedT[(static_cast<int64_t>(g) * 162 + i) * n + p] =
+            plc_p[g * 81 + i];
+  }
+
+  grouped_gemm_lrelu_T(fusedT.data(), fused_n, w1, b1, out1, so, true, n,
+                       h1T.data());
+  grouped_gemm_lrelu_T(h1T.data(), out1, w2, b2, out2, so, true, n,
+                       h2T.data());
+  grouped_gemm_lrelu_T(h2T.data(), out2, w3, b3, out3, so, true, n,
+                       h3T.data());
+  grouped_gemm_lrelu_T(h3T.data(), out3, w4, b4, out4, so, false, n,
+                       h4T.data());
+
+  // h4: per group (sigma, mu) interleaved over groups: channels
+  // [2g] = sigma_g, [2g+1] = mu_g (global 0::2 / 1::2 split)
+  for (int64_t p = 0; p < n; ++p) {
     for (int g = 0; g < so; ++g) {
-      for (int i = 0; i < 81; ++i) {
-        fused[g * 162 + i] = plc_p[g * 81 + i];
-        fused[g * 162 + 81 + i] = csc[g * 81 + i];
-      }
-    }
-    grouped_matmul_lrelu(fused.data(), fused_n, w1, b1, out1, so, true,
-                         h1.data());
-    grouped_matmul_lrelu(h1.data(), out1, w2, b2, out2, so, true, h2.data());
-    grouped_matmul_lrelu(h2.data(), out2, w3, b3, out3, so, true, h3.data());
-    grouped_matmul_lrelu(h3.data(), out3, w4, b4, out4, so, false,
-                         h4.data());
-    // h4: per group (sigma, mu) interleaved over groups: channels
-    // [2g] = sigma_g, [2g+1] = mu_g (global 0::2 / 1::2 split)
-    for (int g = 0; g < so; ++g) {
-      float sigma = h4[2 * g];
-      const float mu = h4[2 * g + 1];
+      float sigma = h4T[static_cast<int64_t>(2 * g) * n + p];
+      const float mu = h4T[static_cast<int64_t>(2 * g + 1) * n + p];
       if (sigma < scale_bound) sigma = scale_bound;
       int32_t idx = 0;
       for (int s = 0; s < n_scales - 1; ++s) {

@@ -190,37 +190,48 @@ struct LayerSpec {
   int in_ch;
 };
 
-inline void pixelcnn_layer(const float* prev, int layer, int groups,
-                           const LayerSpec& L, bool act, float* next) {
+// Batched over the diagonal's n centers, activations transposed to
+// (position*channel, n): centers are the unit-stride SIMD axis and each
+// weight is read once per diagonal (the per-center form re-read the 708 KB
+// layer-1 weights for every center). Masked taps 0..3 (type A, layer 0)
+// or 0..4 (type B): row0 full + row1-col0 (+center).
+inline void pixelcnn_layer_T(const float* __restrict__ prevT, int layer,
+                             int groups, const LayerSpec& L, bool act,
+                             int64_t n, float* __restrict__ nextT) {
   const int in_g = L.in_ch / groups;
   const int out_g = L.out_ch / groups;
   const int r0 = 1 + layer;
   const int c0 = 1 + layer, c1 = kP - 2 - layer;
-  // masked taps: row0 full, row1 col0; +center for type B (layer > 0)
-  const int taps_a[4] = {0, 1, 2, 3};
-  const int taps_b[5] = {0, 1, 2, 3, 4};
-  const int* taps = layer == 0 ? taps_a : taps_b;
   const int ntaps = layer == 0 ? 4 : 5;
   for (int r = r0; r <= kCenter; ++r) {
     for (int c = c0; c <= c1; ++c) {
-      float* out = next + (r * kP + c) * L.out_ch;
+      float* outbase =
+          nextT + static_cast<int64_t>(r * kP + c) * L.out_ch * n;
       for (int o = 0; o < L.out_ch; ++o) {
         const int g = o / out_g;
-        const float* wo = L.w + (static_cast<int64_t>(o) * 9) * in_g;
-        float acc = L.b[o];
+        const float* wo = L.w + static_cast<int64_t>(o) * 9 * in_g;
+        float* __restrict__ yrow = outbase + static_cast<int64_t>(o) * n;
+        const float bias = L.b[o];
+        for (int64_t p = 0; p < n; ++p) yrow[p] = bias;
         for (int t = 0; t < ntaps; ++t) {
-          const int tap = taps[t];
-          const int rr = r + tap / 3 - 1;
-          const int cc = c + tap % 3 - 1;
-          const float* __restrict__ x =
-              prev + (rr * kP + cc) * L.in_ch + g * in_g;
-          const float* __restrict__ wt = wo + tap * in_g;
-          float s = 0.0f;
-#pragma omp simd reduction(+ : s)
-          for (int i = 0; i < in_g; ++i) s += x[i] * wt[i];
-          acc += s;
+          const int rr = r + t / 3 - 1;
+          const int cc = c + t % 3 - 1;
+          const float* xbase =
+              prevT + (static_cast<int64_t>(rr * kP + cc) * L.in_ch
+                       + g * in_g) * n;
+          const float* wt = wo + t * in_g;
+          for (int i = 0; i < in_g; ++i) {
+            const float wv = wt[i];
+            const float* __restrict__ xrow =
+                xbase + static_cast<int64_t>(i) * n;
+#pragma omp simd
+            for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
+          }
         }
-        out[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
+        if (act) {
+          for (int64_t p = 0; p < n; ++p)
+            yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
+        }
       }
     }
   }
@@ -248,31 +259,36 @@ void ztsep_pixelcnn_centers(
   int max_ch = ic;
   for (const auto& s : specs) max_ch = s.out_ch > max_ch ? s.out_ch : max_ch;
 
-#pragma omp parallel
-  {
-    std::vector<float> buf_a(kP * kP * max_ch), buf_b(kP * kP * max_ch);
-#pragma omp for
-    for (int64_t p = 0; p < n; ++p) {
-      const float* prev = patches + p * kP * kP * ic;
-      float* cur = buf_a.data();
-      float* nxt = buf_b.data();
-      for (int l = 0; l < kLayers; ++l) {
-        pixelcnn_layer(prev, l, ic, specs[l], l + 1 < kLayers, nxt);
-        prev = nxt;
-        float* tmp = cur; cur = nxt; nxt = tmp;
+  // (position*channel, n) transposed buffers; plane-level threading
+  // happens in Python, so the batch runs single-threaded here
+  std::vector<float> buf_a(static_cast<size_t>(kP * kP * max_ch) * n);
+  std::vector<float> buf_b(static_cast<size_t>(kP * kP * max_ch) * n);
+  for (int64_t p = 0; p < n; ++p)
+    for (int pos = 0; pos < kP * kP; ++pos)
+      for (int ch = 0; ch < ic; ++ch)
+        buf_a[(static_cast<int64_t>(pos) * ic + ch) * n + p] =
+            patches[(p * kP * kP + pos) * ic + ch];
+
+  float* prev = buf_a.data();
+  float* next = buf_b.data();
+  for (int l = 0; l < kLayers; ++l) {
+    pixelcnn_layer_T(prev, l, ic, specs[l], l + 1 < kLayers, n, next);
+    float* tmp = prev; prev = next; next = tmp;
+  }
+
+  const float* h =
+      prev + static_cast<int64_t>(kCenter * kP + kCenter) * o4 * n;
+  for (int64_t p = 0; p < n; ++p) {
+    for (int g = 0; g < ic; ++g) {
+      float sigma = h[static_cast<int64_t>(2 * g) * n + p];
+      const float mu = h[static_cast<int64_t>(2 * g + 1) * n + p];
+      if (sigma < scale_bound) sigma = scale_bound;
+      int32_t idx = 0;
+      for (int s = 0; s < n_scales - 1; ++s) {
+        if (sigma > scale_table[s]) ++idx;
       }
-      const float* h = prev + (kCenter * kP + kCenter) * o4;
-      for (int g = 0; g < ic; ++g) {
-        float sigma = h[2 * g];
-        const float mu = h[2 * g + 1];
-        if (sigma < scale_bound) sigma = scale_bound;
-        int32_t idx = 0;
-        for (int s = 0; s < n_scales - 1; ++s) {
-          if (sigma > scale_table[s]) ++idx;
-        }
-        idx_out[p * ic + g] = idx;
-        mu_out[p * ic + g] = mu;
-      }
+      idx_out[p * ic + g] = idx;
+      mu_out[p * ic + g] = mu;
     }
   }
 }

@@ -247,8 +247,12 @@ class LiftingDWTAgent:
             "train_logger": self.train_logger.state_dict(),
             "valid_logger": self.valid_logger.state_dict(),
         }
+        # The template restores the pytree with its original node types
+        # (optax opt_state namedtuples, TrainState) — a raw restore would
+        # come back as plain dicts and break train_step's
+        # ``opt_state.hyperparams`` access after resume.
         payload = ckpt.load_checkpoint(self.cfg.checkpoint_dir, name,
-                                       template=None)
+                                       template=template)
         if payload is None:
             self.logger.warning(f"no checkpoint {name!r} found — fresh init")
             return

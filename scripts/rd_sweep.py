@@ -122,6 +122,9 @@ def main():
                     required=True)
     ap.add_argument("--lambdas", type=str, required=True)
     ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue each lambda from its saved checkpoint "
+                         "(trains up to --steps total iterations)")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -144,12 +147,14 @@ def main():
         t0 = time.time()
         cfg = make_cfg(args.preset, lam, args.steps, train_dir, eval_dir,
                        root)
+        cfg.resume_training = bool(args.resume)
         agent = LiftingDWTAgent(cfg)
         agent.run()                      # train (crash-saves on error)
         agent.save_checkpoint(is_best=True)
         psnr, bpp = agent.test()         # REAL bitstream enc+dec
         results["points"][f"{lam:g}"] = {
             "bpp": bpp, "psnr": psnr,
+            "iterations": int(agent.current_iteration),
             "train_minutes": round((time.time() - t0) / 60, 1)}
         json.dump(results, open(out_path, "w"), indent=1)
         print(f"lambda={lam:g}: {bpp:.4f} bpp @ {psnr:.2f} dB "

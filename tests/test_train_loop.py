@@ -111,11 +111,15 @@ def test_agent_train_validate_checkpoint(tmp_path):
     agent.run()
     assert os.path.exists(os.path.join(cfg.checkpoint_dir, "checkpoint"))
     # resume path restores epoch counter
-    cfg2 = _tiny_cfg(steps_per_epoch=2, max_epoch=1, loss_prnt_iters=2)
+    cfg2 = _tiny_cfg(steps_per_epoch=2, max_epoch=2, loss_prnt_iters=2)
     cfg2.checkpoint_dir = cfg.checkpoint_dir
     cfg2.resume_training = True
     agent2 = LiftingDWTAgent(cfg2)
     assert agent2.current_epoch == agent.current_epoch
+    # restored opt_state must keep its optax node types (namedtuples with
+    # .hyperparams), not plain dicts — training after resume exercises it
+    agent2.run()
+    assert agent2.current_iteration > agent.current_iteration
 
 def test_agent_test_mode_tiles_highres(tmp_path):
     """cfg.tile_size routes large test images through per-tile bitstreams

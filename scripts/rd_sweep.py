@@ -135,7 +135,8 @@ def main():
     if os.path.exists(out_path):
         results = json.load(open(out_path))
 
-    results.setdefault("jpeg_anchor", jpeg_anchor(eval_dir))
+    if "jpeg_anchor" not in results:   # setdefault would encode eagerly
+        results["jpeg_anchor"] = jpeg_anchor(eval_dir)
     results.setdefault("points", {})
     results["eval_set"] = sorted(os.listdir(eval_dir))
     results["steps"] = args.steps

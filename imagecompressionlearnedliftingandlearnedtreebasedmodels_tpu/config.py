@@ -97,6 +97,8 @@ class Config:
     test_every: int = 1
     checkpoint_file: str = "checkpoint"
     steps_per_epoch: int = 0        # 0 = full pass over the dataset
+    save_every_epochs: int = 0      # >0: rolling checkpoint every N epochs
+                                    # (crash insurance on flaky transports)
 
     # --- sweeps ----------------------------------------------------------
     multi_agent: bool = False

@@ -16,6 +16,7 @@ accidental reset would only hurt training.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -26,12 +27,30 @@ def _path(checkpoint_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(checkpoint_dir, name))
 
 
+def _save_atomic(ckptr, target: str, payload: Dict[str, Any]) -> None:
+    """Write to ``<target>.new`` and swap only on success.
+
+    orbax's ``force=True`` deletes the existing target BEFORE serializing;
+    if the device->host readback then fails (observed: tunneled-TPU backend
+    dropping mid-save) the previous checkpoint is destroyed along with the
+    new one. Keep the old checkpoint until the new write has committed.
+    """
+    new, old = target + ".new", target + ".old"
+    for p in (new, old):
+        shutil.rmtree(p, ignore_errors=True)
+    ckptr.save(new, payload, force=True)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(new, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def save_checkpoint(checkpoint_dir: str, payload: Dict[str, Any],
                     is_best: bool = False, name: str = "checkpoint") -> None:
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(_path(checkpoint_dir, name), payload, force=True)
+    _save_atomic(ckptr, _path(checkpoint_dir, name), payload)
     if is_best:
-        ckptr.save(_path(checkpoint_dir, "model_best"), payload, force=True)
+        _save_atomic(ckptr, _path(checkpoint_dir, "model_best"), payload)
 
 
 def load_checkpoint(checkpoint_dir: str, name: str = "checkpoint",

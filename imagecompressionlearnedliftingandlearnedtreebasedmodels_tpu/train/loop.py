@@ -131,6 +131,11 @@ class LiftingDWTAgent:
                 is_best = valid_loss < self.best_valid_loss
                 self.best_valid_loss = min(valid_loss, self.best_valid_loss)
                 self.save_checkpoint(is_best=is_best)
+            elif cfg.save_every_epochs > 0 \
+                    and (epoch + 1) % cfg.save_every_epochs == 0:
+                # crash insurance between (or instead of) validations: a
+                # transport drop then costs minutes, not the whole run
+                self.save_checkpoint()
 
     def train_one_epoch(self, epoch: int):
         cfg = self.cfg
@@ -253,6 +258,15 @@ class LiftingDWTAgent:
         # ``opt_state.hyperparams`` access after resume.
         payload = ckpt.load_checkpoint(self.cfg.checkpoint_dir, name,
                                        template=template)
+        if payload is None and name != "model_best":
+            # the rolling checkpoint can be lost to a crashed save (flaky
+            # transport mid-readback); model_best is written atomically too
+            # and is the best surviving state
+            self.logger.warning(
+                f"no checkpoint {name!r} — falling back to 'model_best'")
+            name = "model_best"
+            payload = ckpt.load_checkpoint(self.cfg.checkpoint_dir, name,
+                                           template=template)
         if payload is None:
             self.logger.warning(f"no checkpoint {name!r} found — fresh init")
             return

@@ -96,6 +96,7 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
         steps_per_epoch=steps_per_epoch,
         max_epoch=max(1, steps // steps_per_epoch),
         validate_every=10 ** 9,  # no mid-run validation; test at the end
+        save_every_epochs=5,     # tunnel-drop insurance (~2500 steps)
         loss_prnt_iters=250, training_loss_switch=1,
         train_data_1=train_dir, test_data=eval_dir, valid_data=eval_dir,
         test_patch_size=0, val_patch_size=256,

@@ -1,6 +1,7 @@
 """End-to-end training slice: loss decreases, schedulers behave, ckpt works."""
 
 import os
+import shutil
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,13 @@ def test_agent_train_validate_checkpoint(tmp_path):
     # .hyperparams), not plain dicts — training after resume exercises it
     agent2.run()
     assert agent2.current_iteration > agent.current_iteration
+    # a lost rolling checkpoint (crashed save) falls back to model_best
+    shutil.rmtree(os.path.join(cfg.checkpoint_dir, "checkpoint"))
+    cfg3 = _tiny_cfg(steps_per_epoch=2, max_epoch=2, loss_prnt_iters=2)
+    cfg3.checkpoint_dir = cfg.checkpoint_dir
+    cfg3.resume_training = True
+    agent3 = LiftingDWTAgent(cfg3)
+    assert agent3.current_iteration > 0
 
 def test_agent_test_mode_tiles_highres(tmp_path):
     """cfg.tile_size routes large test images through per-tile bitstreams

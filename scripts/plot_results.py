@@ -1,0 +1,70 @@
+"""Render the measured RD curves (results/rd_*.json) to results/rd_measured.png.
+
+Own-eval-set comparison: JPEG anchor vs CDF97+factorized vs the flagship
+(lifting v4 + ZTsepSubbands), all real-bitstream points on the same held-out
+images (see results/README.md for methodology). Kept separate from
+tools/rd_plot.py's Kodak-anchor figure: these numbers are NOT Kodak.
+
+Colors are Okabe-Ito (colorblind-safe), fixed per codec identity.
+"""
+
+import json
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SERIES = [
+    # (file/points key, label, okabe-ito color, linestyle)
+    ("jpeg_anchor", "JPEG (PIL)", "#7f7f7f", "--"),
+    ("rd_cdf97", "CDF 9/7 + factorized", "#56B4E9", "-"),
+    ("rd_flagship", "Lifting v4 + ZTsepSubbands", "#D55E00", "-"),
+]
+
+
+def load_points(name):
+    if name == "jpeg_anchor":
+        d = json.load(open(os.path.join(ROOT, "results", "rd_cdf97.json")))
+        return sorted((b, p) for b, p in d["jpeg_anchor"])
+    d = json.load(open(os.path.join(ROOT, "results", f"{name}.json")))
+    return sorted((v["bpp"], v["psnr"]) for v in d["points"].values())
+
+
+def main(out_path=None):
+    out_path = out_path or os.path.join(ROOT, "results", "rd_measured.png")
+    fig, ax = plt.subplots(figsize=(7.2, 4.6), dpi=150)
+    for key, label, color, ls in SERIES:
+        pts = load_points(key)
+        bpp = [p[0] for p in pts]
+        psnr = [p[1] for p in pts]
+        ax.plot(bpp, psnr, ls, color=color, marker="o", markersize=4,
+                linewidth=2, label=label)
+        # direct label at the last point inside the x-range (identity is
+        # not color-alone; clipped-off labels help nobody)
+        vis = [i for i, b in enumerate(bpp) if b <= 2.9]
+        if vis:
+            i = vis[-1]
+            ax.annotate(label, (bpp[i], psnr[i]), textcoords="offset points",
+                        xytext=(6, -10), fontsize=8, color="#444444")
+    ax.set_xlabel("bits per pixel")
+    ax.set_ylabel("PSNR (dB)")
+    ax.set_title("Real-bitstream RD on the held-out eval set "
+                 "(synthetic corpus + grace_hopper)")
+    ax.set_xlim(0, 3.2)
+    ax.grid(True, color="#e0e0e0", linewidth=0.6)
+    ax.set_axisbelow(True)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    ax.legend(frameon=False, fontsize=9, loc="lower right")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

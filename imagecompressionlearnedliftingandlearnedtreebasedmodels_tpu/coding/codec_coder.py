@@ -128,11 +128,11 @@ class CodecCoder:
         key = (plane, kind)
         if key not in self._native_cache:
             try:
-                from .native_ctx import PixelCNNEvaluator
+                from .native_ctx import PixelCNNWalker
                 which = "pixelcnn_xe" if kind == "xe" else "pixelcnn_xo"
                 ic = (1 if kind == "xe" else 3) * self.cfg.clrch
                 params_np = jax.device_get(self._plane_params(plane))
-                self._native_cache[key] = PixelCNNEvaluator(
+                self._native_cache[key] = PixelCNNWalker(
                     params_np, which, ic)
             except Exception as e:
                 import logging

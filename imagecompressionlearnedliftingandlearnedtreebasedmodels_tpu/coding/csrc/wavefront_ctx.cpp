@@ -165,12 +165,17 @@ void ztsep_level_centers(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// 5-layer masked PixelCNN center evaluation (the xe / coarsest-details paths,
-// reference LiftingBasedDWT_net.py:298-317). The naive form runs the full
-// masked stack over an 11x11 patch (~10M MAC/center for ic=1); here each
-// layer is evaluated only on the dependency cone of the center — layer k
-// needs rows (1+k)..5, cols (1+k)..(9-k) — which is ~1.1M MAC/center, all in
-// simple FMA loops over contiguous channel blocks.
+// Incremental 5-layer masked PixelCNN plane walk (the xe / coarsest-details
+// paths, reference LiftingBasedDWT_net.py:298-317). Instead of re-running the
+// masked stack over an 11x11 dependency cone per center (~1.1M MAC/center),
+// every layer activation is computed exactly ONCE per pixel across the whole
+// wavefront walk (~45k*ic MAC/pixel, ~24x less): when diagonal d's pixels are
+// about to be decoded, each layer's activations AT those pixels depend only
+// on already-computed values — layer 0 is mask-A (no center tap, inputs are
+// decoded pixels of diagonals < d) and layers 1..4 are mask-B whose center
+// tap reads the PREVIOUS layer at the same pixel, computed earlier in the
+// same call. The caller owns per-layer activation planes (zero-initialized,
+// 1-pixel zero padding) that persist across the walk.
 //
 // Layer l: 3x3 conv grouped by ic, mask A for l=0 (taps r0c0 r0c1 r0c2 r1c0)
 // and mask B for l>0 (+ center tap), LeakyReLU(0.01) after layers 0..3.
@@ -179,10 +184,6 @@ void ztsep_level_centers(
 
 namespace {
 
-constexpr int kP = 11;          // patch side
-constexpr int kCenter = 5;      // center row/col
-constexpr int kLayers = 5;
-
 struct LayerSpec {
   const float* w;  // (out, 9, in_g)
   const float* b;  // (out)
@@ -190,49 +191,41 @@ struct LayerSpec {
   int in_ch;
 };
 
-// Batched over the diagonal's n centers, activations transposed to
-// (position*channel, n): centers are the unit-stride SIMD axis and each
-// weight is read once per diagonal (the per-center form re-read the 708 KB
-// layer-1 weights for every center). Masked taps 0..3 (type A, layer 0)
-// or 0..4 (type B): row0 full + row1-col0 (+center).
-inline void pixelcnn_layer_T(const float* __restrict__ prevT, int layer,
-                             int groups, const LayerSpec& L, bool act,
-                             int64_t n, float* __restrict__ nextT) {
+// Evaluate layer l at the n wavefront pixels. ``in`` is the previous
+// activation plane (or the decoded plane for l=0), row-major with
+// ``in_pad`` zero padding and ``in_ch`` contiguous channels per pixel;
+// ``out`` is this layer's plane (1-pixel padding) or, for the last layer,
+// a dense (n, out_ch) buffer.
+inline void pixelcnn_layer_at(const float* __restrict__ in, int in_pad,
+                              int w_img, const LayerSpec& L, int groups,
+                              bool mask_a, bool act,
+                              const int64_t* rows, const int64_t* cols,
+                              int64_t n, float* __restrict__ out,
+                              int out_pad, bool out_plane, int w_out) {
   const int in_g = L.in_ch / groups;
   const int out_g = L.out_ch / groups;
-  const int r0 = 1 + layer;
-  const int c0 = 1 + layer, c1 = kP - 2 - layer;
-  const int ntaps = layer == 0 ? 4 : 5;
-  for (int r = r0; r <= kCenter; ++r) {
-    for (int c = c0; c <= c1; ++c) {
-      float* outbase =
-          nextT + static_cast<int64_t>(r * kP + c) * L.out_ch * n;
-      for (int o = 0; o < L.out_ch; ++o) {
-        const int g = o / out_g;
-        const float* wo = L.w + static_cast<int64_t>(o) * 9 * in_g;
-        float* __restrict__ yrow = outbase + static_cast<int64_t>(o) * n;
-        const float bias = L.b[o];
-        for (int64_t p = 0; p < n; ++p) yrow[p] = bias;
-        for (int t = 0; t < ntaps; ++t) {
-          const int rr = r + t / 3 - 1;
-          const int cc = c + t % 3 - 1;
-          const float* xbase =
-              prevT + (static_cast<int64_t>(rr * kP + cc) * L.in_ch
-                       + g * in_g) * n;
-          const float* wt = wo + t * in_g;
-          for (int i = 0; i < in_g; ++i) {
-            const float wv = wt[i];
-            const float* __restrict__ xrow =
-                xbase + static_cast<int64_t>(i) * n;
-#pragma omp simd
-            for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
-          }
-        }
-        if (act) {
-          for (int64_t p = 0; p < n; ++p)
-            yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
-        }
+  const int ntaps = mask_a ? 4 : 5;
+  const int64_t in_stride = static_cast<int64_t>(w_img + 2 * in_pad) * L.in_ch;
+  for (int64_t p = 0; p < n; ++p) {
+    const int64_t r = rows[p], c = cols[p];
+    float* yp = out_plane
+        ? out + ((r + out_pad) * (w_out + 2 * out_pad) + (c + out_pad))
+                    * L.out_ch
+        : out + p * L.out_ch;
+    for (int o = 0; o < L.out_ch; ++o) {
+      const int g = o / out_g;
+      const float* wo = L.w + static_cast<int64_t>(o) * 9 * in_g;
+      float acc = L.b[o];
+      for (int t = 0; t < ntaps; ++t) {
+        const int64_t rr = r + t / 3 - 1 + in_pad;
+        const int64_t cc = c + t % 3 - 1 + in_pad;
+        const float* __restrict__ x =
+            in + rr * in_stride + cc * L.in_ch + g * in_g;
+        const float* __restrict__ wt = wo + t * in_g;
+#pragma omp simd reduction(+ : acc)
+        for (int i = 0; i < in_g; ++i) acc += wt[i] * x[i];
       }
+      yp[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
     }
   }
 }
@@ -241,11 +234,16 @@ inline void pixelcnn_layer_T(const float* __restrict__ prevT, int layer,
 
 extern "C" {
 
-// patches: (n, 11, 11, ic); weights wl (out_l, 9, in_l/ic), biases bl.
-// outs: per-layer output channel counts (81ic, 81ic, 27ic, 9ic, 2ic).
-// Outputs: idx (n, ic) CDF rows, mu (n, ic).
-void ztsep_pixelcnn_centers(
-    const float* patches, int64_t n, int32_t ic,
+// One wavefront step: given the decoded plane so far (row-major, ``pad``
+// zero padding, ic channels) and the diagonal's pixel coords, advance the
+// four persistent activation planes a0..a3 (each (h+2)x(w+2)xout_l,
+// 1-pixel padding, zero-initialized by the caller before the walk) at those
+// pixels and emit the centers' CDF rows + mu.
+// Weights wl (out_l, 9, in_l/ic); outs (81ic, 81ic, 27ic, 9ic, 2ic).
+void ztsep_pixelcnn_step(
+    const float* plane, int32_t h, int32_t w, int32_t pad, int32_t ic,
+    const int64_t* rows, const int64_t* cols, int64_t n,
+    float* a0, float* a1, float* a2, float* a3,
     const float* w0, const float* b0, int32_t o0,
     const float* w1, const float* b1, int32_t o1,
     const float* w2, const float* b2, int32_t o2,
@@ -253,35 +251,27 @@ void ztsep_pixelcnn_centers(
     const float* w4, const float* b4, int32_t o4,
     const float* scale_table, int32_t n_scales, float scale_bound,
     int32_t* idx_out, float* mu_out) {
-  const LayerSpec specs[kLayers] = {
+  (void)h;
+  const LayerSpec specs[5] = {
       {w0, b0, o0, ic}, {w1, b1, o1, o0}, {w2, b2, o2, o1},
       {w3, b3, o3, o2}, {w4, b4, o4, o3}};
-  int max_ch = ic;
-  for (const auto& s : specs) max_ch = s.out_ch > max_ch ? s.out_ch : max_ch;
+  float* acts[4] = {a0, a1, a2, a3};
 
-  // (position*channel, n) transposed buffers; plane-level threading
-  // happens in Python, so the batch runs single-threaded here
-  std::vector<float> buf_a(static_cast<size_t>(kP * kP * max_ch) * n);
-  std::vector<float> buf_b(static_cast<size_t>(kP * kP * max_ch) * n);
-  for (int64_t p = 0; p < n; ++p)
-    for (int pos = 0; pos < kP * kP; ++pos)
-      for (int ch = 0; ch < ic; ++ch)
-        buf_a[(static_cast<int64_t>(pos) * ic + ch) * n + p] =
-            patches[(p * kP * kP + pos) * ic + ch];
-
-  float* prev = buf_a.data();
-  float* next = buf_b.data();
-  for (int l = 0; l < kLayers; ++l) {
-    pixelcnn_layer_T(prev, l, ic, specs[l], l + 1 < kLayers, n, next);
-    float* tmp = prev; prev = next; next = tmp;
+  pixelcnn_layer_at(plane, pad, w, specs[0], ic, /*mask_a=*/true,
+                    /*act=*/true, rows, cols, n, acts[0], 1, true, w);
+  for (int l = 1; l < 4; ++l) {
+    pixelcnn_layer_at(acts[l - 1], 1, w, specs[l], ic, false, true, rows,
+                      cols, n, acts[l], 1, true, w);
   }
+  std::vector<float> head(static_cast<size_t>(n) * o4);
+  pixelcnn_layer_at(acts[3], 1, w, specs[4], ic, false, false, rows, cols,
+                    n, head.data(), 0, false, w);
 
-  const float* h =
-      prev + static_cast<int64_t>(kCenter * kP + kCenter) * o4 * n;
   for (int64_t p = 0; p < n; ++p) {
+    const float* hp = head.data() + p * o4;
     for (int g = 0; g < ic; ++g) {
-      float sigma = h[static_cast<int64_t>(2 * g) * n + p];
-      const float mu = h[static_cast<int64_t>(2 * g + 1) * n + p];
+      float sigma = hp[2 * g];
+      const float mu = hp[2 * g + 1];
       if (sigma < scale_bound) sigma = scale_bound;
       int32_t idx = 0;
       for (int s = 0; s < n_scales - 1; ++s) {

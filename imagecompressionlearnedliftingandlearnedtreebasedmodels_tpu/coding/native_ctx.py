@@ -99,15 +99,20 @@ class LevelContextEvaluator:
         return idx, mu
 
 
-class PixelCNNEvaluator:
-    """Native evaluator for a 5-layer masked PixelCNN's patch centers
-    (the ZTsep xe / coarsest-details wavefront paths).
+class PixelCNNWalker:
+    """Native incremental evaluator for a 5-layer masked PixelCNN over a
+    wavefront plane walk (the ZTsep xe / coarsest-details paths).
 
     ``which`` selects the param subtree (``pixelcnn_xe`` or ``pixelcnn_xo``);
-    ``ic`` is the grouped channel count (1*clrch or 3*clrch). Evaluates
-    only the dependency cone of each 11x11 patch center (~10x fewer MAC
-    than the full-patch masked stack) with OpenMP over the diagonal's
-    pixels.
+    ``ic`` is the grouped channel count (1*clrch or 3*clrch). Each layer's
+    activations are computed exactly once per pixel over the whole walk
+    (persistent per-layer planes advanced diagonal by diagonal) — ~24x
+    fewer MAC than re-running the stack over each center's 11x11
+    dependency cone. ``begin(h, w)`` returns an independent walk session
+    (the evaluator itself holds only read-only weights, so one cached
+    instance serves concurrent tile/plane threads); then
+    ``session.step(padded_plane, pad, coords)`` advances one anti-diagonal
+    and returns the centers' (CDF rows, mu).
     """
 
     def __init__(self, plane_params: Dict, which: str, ic: int):
@@ -127,18 +132,47 @@ class PixelCNNEvaluator:
         self.table = np.ascontiguousarray(
             gaussian.get_scale_table().astype(np.float32))
 
-    def __call__(self, patches: np.ndarray):
-        """patches (n,11,11,ic) -> (idx (n,ic) i32, mu (n,ic) f32)."""
+    def begin(self, h: int, w: int) -> "_PixelCNNWalk":
+        """Fresh walk session with zeroed per-layer activation planes."""
+        return _PixelCNNWalk(self, h, w)
+
+
+class _PixelCNNWalk:
+    """One plane walk's mutable state (per-layer activation planes)."""
+
+    def __init__(self, ev: PixelCNNWalker, h: int, w: int):
+        self.ev = ev
+        self.ic = ev.ic
+        self.h, self.w = h, w
+        self.acts = [np.zeros((h + 2, w + 2, o), np.float32)
+                     for o in ev.outs[:4]]
+
+    def step(self, padded: np.ndarray, pad: int, coords: np.ndarray):
+        """Advance one anti-diagonal.
+
+        ``padded``: (1, h+2*pad, w+2*pad, ic) decoded plane so far;
+        ``coords``: (n, 2) int64 (row, col). Returns (idx (n,ic) i32,
+        mu (n,ic) f32).
+        """
         lib = get_lib()
-        n = patches.shape[0]
-        patches = np.ascontiguousarray(patches, np.float32)
+        ev = self.ev
+        n = coords.shape[0]
+        padded = np.ascontiguousarray(padded, np.float32)  # keep alive
+        rows = np.ascontiguousarray(coords[:, 0], np.int64)
+        cols = np.ascontiguousarray(coords[:, 1], np.int64)
         idx = np.zeros((n, self.ic), np.int32)
         mu = np.zeros((n, self.ic), np.float32)
-        args = [_fp(patches), ctypes.c_int64(n), ctypes.c_int32(self.ic)]
-        for w, b, o in zip(self.ws, self.bs, self.outs):
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        args = [_fp(padded), ctypes.c_int32(self.h),
+                ctypes.c_int32(self.w), ctypes.c_int32(pad),
+                ctypes.c_int32(self.ic),
+                rows.ctypes.data_as(i64), cols.ctypes.data_as(i64),
+                ctypes.c_int64(n)]
+        args += [_fp(a) for a in self.acts]
+        for w, b, o in zip(ev.ws, ev.bs, ev.outs):
             args += [_fp(w), _fp(b), ctypes.c_int32(o)]
-        args += [_fp(self.table), ctypes.c_int32(len(self.table)),
+        args += [_fp(ev.table), ctypes.c_int32(len(ev.table)),
                  ctypes.c_float(gaussian.SCALE_BOUND),
                  idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu)]
-        lib.ztsep_pixelcnn_centers(*args)
+        lib.ztsep_pixelcnn_step(*args)
         return idx, mu

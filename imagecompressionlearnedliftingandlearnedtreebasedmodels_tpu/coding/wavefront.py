@@ -85,7 +85,8 @@ class ZTSepPlaneCoder:
 
     def code(self, kind: str, level: Optional[int], x_true, shape,
              decoder: Optional[rans.RansDecoder], con=None,
-             force_evaluator: Optional[str] = None
+             force_evaluator: Optional[str] = None,
+             force_plc_backend: Optional[str] = None
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Walk the plane. Encode mode when ``x_true`` is given (returns
         symbols/indexes diagonal-major); decode mode consumes ``decoder``.
@@ -96,7 +97,9 @@ class ZTSepPlaneCoder:
         sigma/mu, so a stream encoded with one MUST be decoded with the
         same one — the encoder records its choice in ``PlaneStreams.meta``
         and the decoder passes it back here. ``self.last_evaluator`` holds
-        the evaluator actually used.
+        the evaluator actually used. ``force_plc_backend`` pins the backend
+        of the whole-plane parent-context pass the same way (bf16
+        accumulation order differs between backends).
         """
         coder = self.coder
         if x_true is not None:
@@ -105,12 +108,23 @@ class ZTSepPlaneCoder:
         assert b == 1
         if kind == "level":
             k, name, static = 5, "level_center_params", (level,)
-            # whole-plane parent context, once — on the host CPU backend
-            # (the AR loop is latency-bound; a tunnel round trip per level
-            # costs more than the conv does on CPU)
-            plc = np.asarray(coder._entropy_plane_cpu(
+            # Whole-plane parent context, once per level, on the session's
+            # accelerator: the pass is two dense 243-channel 3x3 convs
+            # (~53 GFLOP at the finest Kodak level — ~1.6 s on this host's
+            # CPU vs one ~30 ms round trip + sub-ms compute on the TPU).
+            # Only the per-diagonal evals stay host-side.
+            backend = jax.default_backend()
+            if force_plc_backend is not None \
+                    and force_plc_backend != backend:
+                raise RuntimeError(
+                    f"stream's parent-context pass ran on "
+                    f"{force_plc_backend!r} but this session's backend is "
+                    f"{backend!r} — bf16 accumulation differs across "
+                    f"backends, decoding could corrupt the plane")
+            self.last_plc_backend = backend
+            plc = np.asarray(coder._entropy_method(
                 self.plane, "plc_params_from_parent", level)(
-                    jnp.asarray(np.asarray(con))))
+                    None, jnp.asarray(np.asarray(con))))
         else:
             k, name, static = 11, ("xe_center_params" if kind == "xe"
                                    else "coarsest_center_params"), ()
@@ -135,17 +149,21 @@ class ZTSepPlaneCoder:
 
         padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
         hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
+        if native is not None and kind != "level":
+            # fresh per-walk session (activation planes); the cached
+            # evaluator itself is read-only and shared across threads
+            native = native.begin(h, w)
         all_syms, all_idxs = [], []
         cpu = jax.devices("cpu")[0]
         for coords in order:
             n = coords.shape[0]
             if native is not None:
-                patches = _gather_patches(padded, coords, k, n)
                 if kind == "level":
+                    patches = _gather_patches(padded, coords, k, n)
                     plc_c = plc[0, coords[:, 0], coords[:, 1], :]
                     idx, mu = native(patches, plc_c)
                 else:
-                    idx, mu = native(patches)
+                    idx, mu = native.step(padded, pad, coords)
             else:
                 bucket = _bucket(n)
                 patches = _gather_patches(padded, coords, k, bucket)
@@ -210,6 +228,7 @@ def compress_ztsep(coder, plane: int, xe, xo_list):
             "level", i, np.asarray(xo_list[i]), None, None,
             con=jnp.asarray(con))
         meta[f"evaluator_l{i}"] = walker.last_evaluator
+        meta[f"plc_backend_l{i}"] = walker.last_plc_backend
         xo_hats[i] = hat
         streams_xo[i] = flush(syms, idxs)
         con = hat
@@ -241,6 +260,7 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
         xo_hat[i], _, _ = walker.code(
             "level", i, None, xo_shapes[i], stream_dec(streams.xo[i]),
             con=jnp.asarray(con),
-            force_evaluator=meta.get(f"evaluator_l{i}"))
+            force_evaluator=meta.get(f"evaluator_l{i}"),
+            force_plc_backend=meta.get(f"plc_backend_l{i}"))
         con = xo_hat[i]
     return xe_hat, xo_hat

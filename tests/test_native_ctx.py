@@ -45,9 +45,16 @@ def test_native_level_centers_match_jax():
     assert mismatch < 0.02, f"index mismatch rate {mismatch}"
 
 
-def test_native_pixelcnn_centers_match_jax():
-    """C++ dependency-cone PixelCNN == jax full-patch masked stack at the
-    center, for both the xe (ic=1) and coarsest-details (ic=3) stacks."""
+def test_native_pixelcnn_walk_matches_jax_whole_plane():
+    """The C++ incremental wavefront walk reproduces the jax whole-plane
+    masked stack at EVERY pixel (validating both the per-layer causal
+    scheduling and the numerics), for the xe (ic=1) and coarsest-details
+    (ic=3) stacks."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.native_ctx import (
+        PixelCNNWalker)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.wavefront import (
+        diagonal_order)
+
     cfg = Config(netType="CDF97", entropy_layer="conditioned2ZTsepSubbands",
                  autoencoder="SubbandAutoEncoder", clrch=1, dwtlevels=2)
     model = CodecWrapper(cfg)
@@ -55,25 +62,36 @@ def test_native_pixelcnn_centers_match_jax():
                        jax.random.PRNGKey(0))
     plane_params = jax.device_get(state.params["codecs_0"])
 
-    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.native_ctx import (
-        PixelCNNEvaluator)
-
     plane = LiftingDWTCodec(cfg)
     rng = np.random.RandomState(1)
-    for which, ic, method in (("pixelcnn_xe", 1, "xe_center_params"),
-                              ("pixelcnn_xo", 3, "coarsest_center_params")):
-        ev = PixelCNNEvaluator(plane_params, which, ic)
-        n = 13
-        patches = rng.randn(n, 11, 11, ic).astype(np.float32)
-        idx_n, mu_n = ev(patches)
+    h, w, pad = 13, 11, 5
+    for which, ic, method in (("pixelcnn_xe", 1, "xe_params"),
+                              ("pixelcnn_xo", 3, "coarsest_params")):
+        ev = PixelCNNWalker(plane_params, which, ic)
+        q = np.round(rng.randn(1, h, w, ic) * 3).astype(np.float32)
 
         def fn(m, p, _method=method):
             sigma, mu = getattr(m.entropymodel, _method)(p)
             return gaussian.build_indexes(sigma), mu
 
         idx_j, mu_j = plane.apply({"params": state.params["codecs_0"]},
-                                  jnp.asarray(patches), method=fn)
-        np.testing.assert_allclose(mu_n, np.asarray(mu_j), atol=2e-4,
-                                   err_msg=which)
-        mismatch = (idx_n != np.asarray(idx_j)).mean()
+                                  jnp.asarray(q), method=fn)
+        idx_j = np.asarray(idx_j)[0]
+        mu_j = np.asarray(mu_j)[0]
+
+        walk = ev.begin(h, w)
+        padded = np.zeros((1, h + 2 * pad, w + 2 * pad, ic), np.float32)
+        idx_n = np.zeros((h, w, ic), np.int32)
+        mu_n = np.zeros((h, w, ic), np.float32)
+        for coords in diagonal_order(h, w, a=2):
+            # params first (they may only use strictly-past pixels), then
+            # reveal the diagonal's true values — as the real walk does
+            idx_d, mu_d = walk.step(padded, pad, coords)
+            rr, cc = coords[:, 0], coords[:, 1]
+            idx_n[rr, cc] = idx_d
+            mu_n[rr, cc] = mu_d
+            padded[0, rr + pad, cc + pad, :] = q[0, rr, cc, :]
+
+        np.testing.assert_allclose(mu_n, mu_j, atol=2e-4, err_msg=which)
+        mismatch = (idx_n != idx_j).mean()
         assert mismatch < 0.02, f"{which} index mismatch rate {mismatch}"

@@ -75,6 +75,93 @@ inline void grouped_gemm_lrelu_T(const float* __restrict__ xT, int in_total,
   }
 }
 
+// Level-path center evaluation, shared by the per-diagonal entry point and
+// the fully-native plane walk below. The masked 5x5 csc conv reads its 12
+// causal taps (rows 0,1 full; row 2 cols 0,1) either from gathered patches
+// or straight from the padded plane; the cgp 1x1 stack then runs batched
+// over the diagonal with centers as the unit-stride SIMD axis.
+
+struct LevelParams {
+  const float *csc_w, *csc_b;
+  const float *w1, *b1, *w2, *b2, *w3, *b3, *w4, *b4;
+  int32_t out1, out2, out3, out4;
+  const float* scale_table;
+  int32_t n_scales;
+  float scale_bound;
+};
+
+struct LevelBufs {  // reused across diagonals to avoid re-allocation
+  std::vector<float> fusedT, h1T, h2T, h3T, h4T;
+};
+
+// fusedT (already built, interleaved plc/csc blocks per group) -> idx/mu.
+inline void level_core(LevelBufs* bufs, int64_t n, int32_t so,
+                       const LevelParams& P, int32_t* idx_out,
+                       float* mu_out) {
+  const int fused_n = 2 * so * 81;
+  bufs->h1T.resize(static_cast<size_t>(P.out1) * n);
+  bufs->h2T.resize(static_cast<size_t>(P.out2) * n);
+  bufs->h3T.resize(static_cast<size_t>(P.out3) * n);
+  bufs->h4T.resize(static_cast<size_t>(P.out4) * n);
+  grouped_gemm_lrelu_T(bufs->fusedT.data(), fused_n, P.w1, P.b1, P.out1, so,
+                       true, n, bufs->h1T.data());
+  grouped_gemm_lrelu_T(bufs->h1T.data(), P.out1, P.w2, P.b2, P.out2, so,
+                       true, n, bufs->h2T.data());
+  grouped_gemm_lrelu_T(bufs->h2T.data(), P.out2, P.w3, P.b3, P.out3, so,
+                       true, n, bufs->h3T.data());
+  grouped_gemm_lrelu_T(bufs->h3T.data(), P.out3, P.w4, P.b4, P.out4, so,
+                       false, n, bufs->h4T.data());
+
+  // h4: per group (sigma, mu) interleaved over groups: channels
+  // [2g] = sigma_g, [2g+1] = mu_g (global 0::2 / 1::2 split)
+  const float* h4T = bufs->h4T.data();
+  for (int64_t p = 0; p < n; ++p) {
+    for (int g = 0; g < so; ++g) {
+      float sigma = h4T[static_cast<int64_t>(2 * g) * n + p];
+      const float mu = h4T[static_cast<int64_t>(2 * g + 1) * n + p];
+      if (sigma < P.scale_bound) sigma = P.scale_bound;
+      int32_t idx = 0;
+      for (int s = 0; s < P.n_scales - 1; ++s) {
+        if (sigma > P.scale_table[s]) ++idx;
+      }
+      idx_out[p * so + g] = idx;
+      mu_out[p * so + g] = mu;
+    }
+  }
+}
+
+// csc taps: rows 0,1 full; row 2 cols 0,1 (mask-A over 5x5)
+constexpr int kCscTaps[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+
+// Build fusedT for one diagonal reading csc taps via `tap(p, pos)` and
+// plc rows via `plcrow(p)`; group g rows [g*162, g*162+81) = plc_g,
+// [g*162+81, g*162+162) = csc_g.
+template <typename TapFn, typename PlcFn>
+inline void level_build_fusedT(LevelBufs* bufs, int64_t n, int32_t so,
+                               const LevelParams& P, TapFn tap,
+                               PlcFn plcrow) {
+  const int wide = so * 81;
+  bufs->fusedT.resize(static_cast<size_t>(2 * wide) * n);
+  float* fusedT = bufs->fusedT.data();
+  for (int64_t p = 0; p < n; ++p) {
+    for (int o = 0; o < wide; ++o) {
+      const int g = o / 81;
+      const float* wo = P.csc_w + static_cast<int64_t>(o) * 25;
+      float acc = P.csc_b[o];
+      for (int m = 0; m < 12; ++m) {
+        const int pos = kCscTaps[m];
+        acc += tap(p, pos, g) * wo[pos];
+      }
+      fusedT[(static_cast<int64_t>(g) * 162 + 81 + o % 81) * n + p] = acc;
+    }
+    const float* plc_p = plcrow(p);
+    for (int g = 0; g < so; ++g)
+      for (int i = 0; i < 81; ++i)
+        fusedT[(static_cast<int64_t>(g) * 162 + i) * n + p] =
+            plc_p[g * 81 + i];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -97,69 +184,17 @@ void ztsep_level_centers(
     const float* w4, const float* b4, int32_t out4,
     const float* scale_table, int32_t n_scales, float scale_bound,
     int32_t* idx_out, float* mu_out) {
-  const int wide = so * 81;          // csc output channels
-  const int fused_n = 2 * wide;      // interleaved plc/csc blocks
-
-  // mask-A over 5x5: rows 0,1 full; row 2 cols 0,1
-  int mask_pos[12];
-  int nm = 0;
-  for (int r = 0; r < 2; ++r)
-    for (int c = 0; c < 5; ++c) mask_pos[nm++] = r * 5 + c;
-  mask_pos[nm++] = 2 * 5 + 0;
-  mask_pos[nm++] = 2 * 5 + 1;
-
-  // whole-diagonal batch, activations transposed to (channels, n)
-  std::vector<float> fusedT(static_cast<size_t>(fused_n) * n);
-  std::vector<float> h1T(static_cast<size_t>(out1) * n);
-  std::vector<float> h2T(static_cast<size_t>(out2) * n);
-  std::vector<float> h3T(static_cast<size_t>(out3) * n);
-  std::vector<float> h4T(static_cast<size_t>(out4) * n);
-
-  // csc centers + plc straight into the fused transposed layout:
-  // group g rows [g*162, g*162+81) = plc_g, [g*162+81, g*162+162) = csc_g
-  for (int64_t p = 0; p < n; ++p) {
-    const float* patch = patches + p * 25 * so;
-    const float* plc_p = plc + p * wide;
-    for (int o = 0; o < wide; ++o) {
-      const int g = o / 81;
-      const float* wo = csc_w + static_cast<int64_t>(o) * 25;
-      float acc = csc_b[o];
-      for (int m = 0; m < nm; ++m) {
-        const int pos = mask_pos[m];
-        acc += patch[pos * so + g] * wo[pos];
-      }
-      fusedT[(static_cast<int64_t>(g) * 162 + 81 + o % 81) * n + p] = acc;
-    }
-    for (int g = 0; g < so; ++g)
-      for (int i = 0; i < 81; ++i)
-        fusedT[(static_cast<int64_t>(g) * 162 + i) * n + p] =
-            plc_p[g * 81 + i];
-  }
-
-  grouped_gemm_lrelu_T(fusedT.data(), fused_n, w1, b1, out1, so, true, n,
-                       h1T.data());
-  grouped_gemm_lrelu_T(h1T.data(), out1, w2, b2, out2, so, true, n,
-                       h2T.data());
-  grouped_gemm_lrelu_T(h2T.data(), out2, w3, b3, out3, so, true, n,
-                       h3T.data());
-  grouped_gemm_lrelu_T(h3T.data(), out3, w4, b4, out4, so, false, n,
-                       h4T.data());
-
-  // h4: per group (sigma, mu) interleaved over groups: channels
-  // [2g] = sigma_g, [2g+1] = mu_g (global 0::2 / 1::2 split)
-  for (int64_t p = 0; p < n; ++p) {
-    for (int g = 0; g < so; ++g) {
-      float sigma = h4T[static_cast<int64_t>(2 * g) * n + p];
-      const float mu = h4T[static_cast<int64_t>(2 * g + 1) * n + p];
-      if (sigma < scale_bound) sigma = scale_bound;
-      int32_t idx = 0;
-      for (int s = 0; s < n_scales - 1; ++s) {
-        if (sigma > scale_table[s]) ++idx;
-      }
-      idx_out[p * so + g] = idx;
-      mu_out[p * so + g] = mu;
-    }
-  }
+  const LevelParams P{csc_w, csc_b, w1, b1, w2, b2, w3, b3, w4, b4,
+                      out1, out2, out3, out4,
+                      scale_table, n_scales, scale_bound};
+  LevelBufs bufs;
+  level_build_fusedT(
+      &bufs, n, so, P,
+      [&](int64_t p, int pos, int g) {
+        return patches[(p * 25 + pos) * so + g];
+      },
+      [&](int64_t p) { return plc + p * static_cast<int64_t>(so) * 81; });
+  level_core(&bufs, n, so, P, idx_out, mu_out);
 }
 
 }  // extern "C"
@@ -279,6 +314,117 @@ void ztsep_pixelcnn_step(
       }
       idx_out[p * ic + g] = idx;
       mu_out[p * ic + g] = mu;
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fully-native wavefront walk of one finer-level ("level" kind) detail
+// plane: the anti-diagonal loop, per-diagonal center evaluation, rANS
+// symbol coding, and decoded-value writeback all run in ONE C++ call —
+// the Python per-diagonal loop (numpy gathers + ctypes marshalling per
+// step, ~2000 steps for a Kodak-size finest level) is eliminated.
+// Replaces the reference's per-pixel Python AR loop
+// (LiftingBasedDWT_net.py:469-556) at the plane granularity.
+//
+// Encode (mode 0): x_true given; emits symbols/indexes (diagonal-major,
+// channel-minor — identical stream order to the Python walk) for the
+// caller to flush through the buffered rANS encoder, and fills `padded`
+// with the decoded values round(x - mu) + mu so the context is
+// bit-identical to what the decoder will reconstruct.
+// Decode (mode 1): consumes `stream` with an inline rANS decoder
+// (rans_core.h — bit-compatible with librans.so by construction) and
+// fills `padded`.
+
+#include <cmath>
+
+#include "rans_core.h"
+
+extern "C" {
+
+void ztsep_level_walk(
+    int32_t mode, int32_t h, int32_t w, int32_t so,
+    float* padded,                 // (h+4, w+4, so) zero-init, pad=2
+    const float* plc,              // (h, w, so*81)
+    const float* x_true,           // (h, w, so) encode mode, else null
+    const float* csc_w, const float* csc_b,
+    const float* w1, const float* b1, int32_t out1,
+    const float* w2, const float* b2, int32_t out2,
+    const float* w3, const float* b3, int32_t out3,
+    const float* w4, const float* b4, int32_t out4,
+    const float* scale_table, int32_t n_scales, float scale_bound,
+    const uint32_t* cdfs, int32_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets,
+    const uint8_t* stream, int64_t nbytes,  // decode mode
+    int32_t* sym_out, int32_t* idx_out) {   // (h*w*so), encode mode
+  const LevelParams P{csc_w, csc_b, w1, b1, w2, b2, w3, b3, w4, b4,
+                      out1, out2, out3, out4,
+                      scale_table, n_scales, scale_bound};
+  const int wpad = w + 4;
+  const int64_t wide = static_cast<int64_t>(so) * 81;
+
+  ranscore::RansDecState dec;
+  if (mode == 1) dec.init(stream, nbytes);
+
+  LevelBufs bufs;
+  std::vector<int32_t> idx_buf;
+  std::vector<float> mu_buf;
+  std::vector<int32_t> rr_buf, cc_buf;
+  int64_t out_pos = 0;
+
+  const int dmax = 3 * (h - 1) + (w - 1);
+  for (int d = 0; d <= dmax; ++d) {
+    // pixels (r, c = d - 3r) with 0 <= c < w, rows ascending
+    const int rlo = d >= w ? (d - w + 3) / 3 : 0;
+    const int rhi = d / 3 < h - 1 ? d / 3 : h - 1;
+    if (rhi < rlo) continue;
+    const int64_t n = rhi - rlo + 1;
+    rr_buf.resize(n);
+    cc_buf.resize(n);
+    for (int64_t p = 0; p < n; ++p) {
+      rr_buf[p] = rlo + static_cast<int32_t>(p);
+      cc_buf[p] = d - 3 * rr_buf[p];
+    }
+    idx_buf.resize(n * so);
+    mu_buf.resize(n * so);
+    // patch top-left at the unpadded coordinate: tap pos (pr,pc) of the
+    // center (r,c) reads padded[r+pr][c+pc] (pad=2 -> center at +2,+2)
+    level_build_fusedT(
+        &bufs, n, so, P,
+        [&](int64_t p, int pos, int g) {
+          const int64_t r = rr_buf[p] + pos / 5, c = cc_buf[p] + pos % 5;
+          return padded[(r * wpad + c) * so + g];
+        },
+        [&](int64_t p) {
+          return plc + (static_cast<int64_t>(rr_buf[p]) * w + cc_buf[p])
+                     * wide;
+        });
+    level_core(&bufs, n, so, P, idx_buf.data(), mu_buf.data());
+
+    for (int64_t p = 0; p < n; ++p) {
+      const int64_t r = rr_buf[p], c = cc_buf[p];
+      float* hat = padded + ((r + 2) * wpad + (c + 2)) * so;
+      for (int g = 0; g < so; ++g) {
+        const int32_t row = idx_buf[p * so + g];
+        const float mu = mu_buf[p * so + g];
+        int32_t sym;
+        if (mode == 0) {
+          const float x = x_true[(r * w + c) * so + g];
+          // nearbyintf under the default FP environment rounds half to
+          // even — matching np.round in the surrogate/jax paths
+          sym = static_cast<int32_t>(nearbyintf(x - mu));
+          sym_out[out_pos] = sym;
+          idx_out[out_pos] = row;
+        } else {
+          sym = ranscore::decode_symbol(
+              &dec, cdfs + static_cast<int64_t>(row) * cdf_stride,
+              cdf_lengths[row], offsets[row]);
+        }
+        ++out_pos;
+        hat[g] = static_cast<float>(sym) + mu;
+      }
     }
   }
 }

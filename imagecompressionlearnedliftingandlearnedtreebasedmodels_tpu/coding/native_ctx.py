@@ -18,6 +18,7 @@ import numpy as np
 from ..entropy import gaussian
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "wavefront_ctx.cpp")
+_HDR = os.path.join(os.path.dirname(__file__), "csrc", "rans_core.h")
 _LIB = os.path.join(os.path.dirname(__file__), "csrc", "libwavefront_ctx.so")
 _LOCK = threading.Lock()
 _lib = None
@@ -31,7 +32,8 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
+                                                os.path.getmtime(_HDR))):
             # -ffast-math lets gcc vectorize the FMA reduction loops
             # (8-16x here); deterministic for a given binary, and encoder/
             # decoder consistency is guarded by PlaneStreams.meta tagging
@@ -97,6 +99,64 @@ class LevelContextEvaluator:
             ctypes.c_float(gaussian.SCALE_BOUND),
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu))
         return idx, mu
+
+    def walk(self, padded: np.ndarray, plc: np.ndarray,
+             x_true: np.ndarray = None,
+             cdfs: np.ndarray = None, cdf_lengths: np.ndarray = None,
+             offsets: np.ndarray = None, stream: bytes = b""):
+        """Full-plane wavefront walk in ONE C++ call: per-diagonal center
+        evaluation, rANS symbol coding and decoded-value writeback with no
+        Python in the loop.
+
+        ``padded``: (1, h+4, w+4, so) float32 zero-initialized plane the
+        decoded values are written into (pad=2). Encode mode when
+        ``x_true`` (1, h, w, so) is given — returns (symbols, indexes) in
+        the buffered-encoder order; decode mode consumes ``stream`` with
+        the in-library rANS decoder (bit-compatible with librans.so —
+        both compile ``rans_core.h``) and returns (None, None).
+        """
+        lib = get_lib()
+        h = padded.shape[1] - 4
+        w = padded.shape[2] - 4
+        assert padded.dtype == np.float32 and padded.flags.c_contiguous
+        plc = np.ascontiguousarray(plc, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n_all = h * w * self.so
+        encode = x_true is not None
+        if encode:
+            x_true = np.ascontiguousarray(x_true, np.float32)
+            syms = np.zeros(n_all, np.int32)
+            idxs = np.zeros(n_all, np.int32)
+            sbuf = np.zeros(0, np.uint8)
+        else:
+            syms = idxs = None
+            sbuf = np.frombuffer(stream, np.uint8)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_lengths = np.ascontiguousarray(cdf_lengths, np.int32)
+        offsets = np.ascontiguousarray(offsets, np.int32)
+        null_i32 = ctypes.cast(None, i32p)
+        lib.ztsep_level_walk(
+            ctypes.c_int32(0 if encode else 1),
+            ctypes.c_int32(h), ctypes.c_int32(w), ctypes.c_int32(self.so),
+            _fp(padded), _fp(plc),
+            _fp(x_true) if encode else ctypes.cast(
+                None, ctypes.POINTER(ctypes.c_float)),
+            _fp(self.csc_w), _fp(self.csc_b),
+            _fp(self.ws[0]), _fp(self.bs[0]), ctypes.c_int32(self.outs[0]),
+            _fp(self.ws[1]), _fp(self.bs[1]), ctypes.c_int32(self.outs[1]),
+            _fp(self.ws[2]), _fp(self.bs[2]), ctypes.c_int32(self.outs[2]),
+            _fp(self.ws[3]), _fp(self.bs[3]), ctypes.c_int32(self.outs[3]),
+            _fp(self.table), ctypes.c_int32(len(self.table)),
+            ctypes.c_float(gaussian.SCALE_BOUND),
+            cdfs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int32(cdfs.shape[1]),
+            cdf_lengths.ctypes.data_as(i32p),
+            offsets.ctypes.data_as(i32p),
+            sbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(sbuf.size),
+            syms.ctypes.data_as(i32p) if encode else null_i32,
+            idxs.ctypes.data_as(i32p) if encode else null_i32)
+        return syms, idxs
 
 
 class PixelCNNWalker:

@@ -26,6 +26,7 @@ from typing import List, Sequence
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "rans.cpp")
+_HDR = os.path.join(os.path.dirname(__file__), "csrc", "rans_core.h")
 _LIB = os.path.join(os.path.dirname(__file__), "csrc", "librans.so")
 _BUILD_LOCK = threading.Lock()
 _lib = None
@@ -45,7 +46,8 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
+                                                os.path.getmtime(_HDR))):
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.rans_encode_with_indexes.restype = ctypes.c_int64

@@ -25,6 +25,8 @@ to bound jit recompiles.
 
 from __future__ import annotations
 
+import os
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -33,6 +35,13 @@ import numpy as np
 
 from ..entropy import gaussian
 from . import rans
+
+# The per-plane walks are CPU-bound host compute (C++ context nets + rANS).
+# Plane threads exist to overlap accelerator round trips, but running more
+# walks than physical cores concurrently just thrashes the cache (~3x
+# slowdown measured on a 1-core host) — gate the compute-heavy section to
+# one walk per core.
+_WALK_SLOTS = threading.BoundedSemaphore(max(1, os.cpu_count() or 1))
 
 
 def diagonal_order(h: int, w: int, a: int) -> List[np.ndarray]:
@@ -84,13 +93,13 @@ class ZTSepPlaneCoder:
         self.plane = plane
 
     def code(self, kind: str, level: Optional[int], x_true, shape,
-             decoder: Optional[rans.RansDecoder], con=None,
+             stream: Optional[bytes], con=None,
              force_evaluator: Optional[str] = None,
              force_plc_backend: Optional[str] = None
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Walk the plane. Encode mode when ``x_true`` is given (returns
-        symbols/indexes diagonal-major); decode mode consumes ``decoder``.
-        Returns (hat, symbols, indexes).
+        symbols/indexes diagonal-major); decode mode consumes the raw
+        ``stream`` bytes. Returns (hat, symbols, indexes).
 
         ``force_evaluator`` pins the context evaluator for the "level" kind
         ("native" C++ fp32 vs "jax"): the two can differ in the last ulp of
@@ -131,7 +140,6 @@ class ZTSepPlaneCoder:
             plc = None
         a = (5 // 2 + 1) if kind == "level" else (3 // 2 + 1)
         pad = k // 2
-        order = diagonal_order(h, w, a)
         native = None
         if force_evaluator != "jax":
             native = (coder._native_level_eval(self.plane, level)
@@ -144,26 +152,47 @@ class ZTSepPlaneCoder:
                     "the jax path could corrupt the plane (last-ulp "
                     "sigma/mu differences change CDF indexes)")
         self.last_evaluator = "native" if native is not None else "jax"
-        codes_fn = (None if native is not None
-                    else coder._entropy_codes_cpu(self.plane, name, *static))
 
         padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
         hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
-        if native is not None and kind != "level":
+        if native is not None and kind == "level":
+            # fully-native plane walk: diagonal loop, context eval, rANS
+            # and writeback all in one C++ call (no Python per diagonal)
+            with _WALK_SLOTS:
+                syms, idxs = native.walk(
+                    padded, plc[0],
+                    None if x_true is None else np.asarray(x_true)[0],
+                    coder._gc_cdfs, coder._gc_lengths, coder._gc_offsets,
+                    stream=b"" if stream is None else stream)
+            if x_true is None:
+                syms = np.zeros(0, np.int32)
+                idxs = np.zeros(0, np.int32)
+            return np.ascontiguousarray(hat), syms, idxs
+
+        codes_fn = (None if native is not None
+                    else coder._entropy_codes_cpu(self.plane, name, *static))
+        order = diagonal_order(h, w, a)
+        if native is not None:
             # fresh per-walk session (activation planes); the cached
             # evaluator itself is read-only and shared across threads
             native = native.begin(h, w)
+        decoder = None
+        if x_true is None:
+            decoder = rans.RansDecoder()
+            decoder.set_stream(stream)
+        with _WALK_SLOTS:
+            return self._walk_loop(order, native, codes_fn, kind, plc,
+                                   padded, hat, pad, k, c, x_true, decoder,
+                                   coder)
+
+    def _walk_loop(self, order, native, codes_fn, kind, plc, padded, hat,
+                   pad, k, c, x_true, decoder, coder):
         all_syms, all_idxs = [], []
         cpu = jax.devices("cpu")[0]
         for coords in order:
             n = coords.shape[0]
             if native is not None:
-                if kind == "level":
-                    patches = _gather_patches(padded, coords, k, n)
-                    plc_c = plc[0, coords[:, 0], coords[:, 1], :]
-                    idx, mu = native(patches, plc_c)
-                else:
-                    idx, mu = native.step(padded, pad, coords)
+                idx, mu = native.step(padded, pad, coords)
             else:
                 bucket = _bucket(n)
                 patches = _gather_patches(padded, coords, k, bucket)
@@ -241,24 +270,17 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
     L = cfg.dwtlevels
     walker = ZTSepPlaneCoder(coder, plane)
 
-    def stream_dec(data: bytes) -> rans.RansDecoder:
-        dec = rans.RansDecoder()
-        dec.set_stream(data)
-        return dec
-
     meta = getattr(streams, "meta", None) or {}
-    xe_hat, _, _ = walker.code("xe", None, None, xe_shape,
-                               stream_dec(streams.xe),
+    xe_hat, _, _ = walker.code("xe", None, None, xe_shape, streams.xe,
                                force_evaluator=meta.get("evaluator_xe"))
     xo_hat: List[np.ndarray] = [None] * L
     xo_hat[L - 1], _, _ = walker.code(
-        "coarsest", None, None, xo_shapes[L - 1],
-        stream_dec(streams.xo[L - 1]),
+        "coarsest", None, None, xo_shapes[L - 1], streams.xo[L - 1],
         force_evaluator=meta.get("evaluator_coarsest"))
     con = xo_hat[L - 1]
     for i in range(L - 2, -1, -1):
         xo_hat[i], _, _ = walker.code(
-            "level", i, None, xo_shapes[i], stream_dec(streams.xo[i]),
+            "level", i, None, xo_shapes[i], streams.xo[i],
             con=jnp.asarray(con),
             force_evaluator=meta.get(f"evaluator_l{i}"),
             force_plc_backend=meta.get(f"plc_backend_l{i}"))

@@ -44,6 +44,11 @@ def timed(name, fn):
 
 wavefront._gather_patches = timed("gather", wavefront._gather_patches)
 
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding import native_ctx  # noqa: E402
+
+native_ctx.LevelContextEvaluator.walk = timed(
+    "native_walk", native_ctx.LevelContextEvaluator.walk)
+
 orig_code = wavefront.ZTSepPlaneCoder.code
 
 
@@ -71,19 +76,27 @@ def main():
                      np.float32)[None] / 255.0
     img = np.concatenate([img, img[:, :, :256]], axis=2)  # (1,512,768,3)
 
-    for run in range(2):
+    import os as _os
+    serial = _os.environ.get("PROFILE_SERIAL_PLANES") == "1"
+    for run in range(3):
         T.clear(); N.clear()
+        if serial:
+            coder._warm = False  # force the serial (unthreaded) plane path
         t0 = time.perf_counter()
+        c0 = time.process_time()
         res = coder.compress_decompress(img)
         total = time.perf_counter() - t0
-        print(f"run {run}: total {total:.2f}s  psnr {res.psnr:.2f} "
-              f"bpp {res.bpp:.4f}")
-    walks = 0.0
-    for k in sorted(T):
-        if k.startswith("walk"):
-            walks += T[k]
-        print(f"  {k:26s} {T[k]:8.2f}s  x{N[k]}")
-    print(f"  walks total {walks:.2f}s; non-walk {total - walks:.2f}s")
+        cpu = time.process_time() - c0
+        print(f"run {run}: total {total:.2f}s  cpu {cpu:.2f}s  "
+              f"psnr {res.psnr:.2f} bpp {res.bpp:.4f}")
+        if run == 0:
+            continue  # compile noise
+        walks = 0.0
+        for k in sorted(T):
+            if k.startswith("walk"):
+                walks += T[k]
+            print(f"  {k:26s} {T[k]:8.2f}s  x{N[k]}")
+        print(f"  walks total {walks:.2f}s; non-walk {total - walks:.2f}s")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..models.codec import CodecWrapper
+from ..utils.heartbeat import Heartbeat
 from . import checkpoint as ckpt
 from .data import ImageDataLoader
 from .loggers import RDLogger, setup_logging
@@ -34,6 +35,9 @@ class LiftingDWTAgent:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.logger = setup_logging(cfg.log_dir)
+        # liveness beacon for train/supervisor.py (no-op unless the
+        # LIFTING_TPU_HEARTBEAT env var is set by a supervisor)
+        self.heartbeat = Heartbeat()
         self.model = CodecWrapper(cfg)
         self.data = ImageDataLoader(cfg)
         self.tx = make_optimizer(cfg)
@@ -147,6 +151,7 @@ class LiftingDWTAgent:
             self.state, out, aux = self.train_step(
                 self.state, jnp.asarray(batch), step_rng, lr, rate_w)
             self.current_iteration += 1
+            self.heartbeat.beat()
             vals = (float(out.loss), float(out.mse),
                     float(out.rate1), float(out.rate2))
             self.train_logger(*vals)
@@ -168,6 +173,7 @@ class LiftingDWTAgent:
         psnrs, r1s, r2s = [], [], []
         for batch in self.data.valid_batches():
             out = self.eval_step(self.state.params, jnp.asarray(batch))
+            self.heartbeat.beat()
             self.valid_logger(float(out.loss), float(out.mse),
                               float(out.rate1), float(out.rate2))
             psnrs.append(-10.0 * np.log10(max(float(out.mse), 1e-12)))
@@ -211,6 +217,7 @@ class LiftingDWTAgent:
         psnrs, bpps = [], []
         for batch in self.data.test_batches():
             res = run_one(np.asarray(batch))
+            self.heartbeat.beat()
             psnrs.append(res.psnr)
             bpps.append(res.bpp)
             self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)
@@ -241,6 +248,7 @@ class LiftingDWTAgent:
         }
         ckpt.save_checkpoint(self.cfg.checkpoint_dir, payload, is_best,
                              name=self.cfg.checkpoint_file)
+        self.heartbeat.beat(force=True)
 
     def load_checkpoint(self, name: str):
         template = {

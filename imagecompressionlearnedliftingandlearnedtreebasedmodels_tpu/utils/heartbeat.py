@@ -1,0 +1,67 @@
+"""Training-liveness heartbeat (SURVEY.md §5 failure-detection TPU plan).
+
+The reference's failure story is crash-save-on-exception
+(``agents/base.py:148-154``); our agent preserves that
+(``train/loop.py::run``).  But on this framework's target deployment the
+accelerator is reached over a network transport, and a dropped transport
+does NOT raise — it leaves the process blocked forever inside a device
+readback, so crash-save never fires.  The liveness protocol:
+
+- the agent touches a heartbeat file at init, every train/eval/test step,
+  and at every checkpoint save (``Heartbeat.beat`` — throttled, so the
+  cost is one ``os.replace`` every ``min_interval`` seconds at most);
+- ``train/supervisor.py`` watches the file's mtime and kills + restarts
+  the training process when it goes stale, resuming from the last
+  checkpoint.
+
+The heartbeat file path comes from the ``LIFTING_TPU_HEARTBEAT`` env var
+(set by the supervisor); without it every call is a no-op, so
+non-supervised runs pay nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+ENV_VAR = "LIFTING_TPU_HEARTBEAT"
+
+
+def heartbeat_path() -> Optional[str]:
+    return os.environ.get(ENV_VAR) or None
+
+
+class Heartbeat:
+    """Throttled liveness file writer; no-op when no path is configured."""
+
+    def __init__(self, path: Optional[str] = None,
+                 min_interval: float = 2.0):
+        self.path = path if path is not None else heartbeat_path()
+        self.min_interval = float(min_interval)
+        self._last = 0.0
+        if self.path:
+            d = os.path.dirname(self.path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            self.beat(force=True)
+
+    def beat(self, force: bool = False) -> None:
+        if not self.path:
+            return
+        now = time.time()
+        if not force and (now - self._last) < self.min_interval:
+            return
+        self._last = now
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(f"{now:.3f}\n")
+        os.replace(tmp, self.path)  # atomic: watcher never sees a torn file
+
+
+def age_seconds(path: str) -> Optional[float]:
+    """Seconds since the last beat, or None if the file does not exist."""
+    try:
+        return max(0.0, time.time() - os.stat(path).st_mtime)
+    except OSError:
+        return None

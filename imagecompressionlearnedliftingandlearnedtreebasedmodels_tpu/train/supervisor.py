@@ -78,6 +78,23 @@ def supervise(cmd: List[str], timeout: float = 600.0,
 
     restarts_left = max_restarts
     attempt = 0
+    # Forward termination to the child group: without this, killing the
+    # supervisor would orphan the training process, which keeps holding
+    # the accelerator (the exact failure mode the supervisor exists to
+    # prevent).  Installed only in the supervising (main) thread.
+    current: dict = {"proc": None}
+
+    def _terminate(signum, frame):
+        proc = current["proc"]
+        if proc is not None:
+            _kill_group(proc)
+        raise SystemExit(128 + signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _terminate)
+        signal.signal(signal.SIGINT, _terminate)
+    except ValueError:
+        pass  # not in the main thread (tests drive supervise() directly)
     while True:
         attempt += 1
         try:
@@ -88,6 +105,7 @@ def supervise(cmd: List[str], timeout: float = 600.0,
         beat_seen = False
         log(f"[supervisor] attempt {attempt}: {' '.join(cmd)}")
         proc = subprocess.Popen(cmd, env=env, start_new_session=True)
+        current["proc"] = proc
         stalled = False
         while True:
             rc = proc.poll()

@@ -105,6 +105,45 @@ def test_cli_roundtrip(tmp_path):
     assert out.returncode == 0, out.stderr
 
 
+def test_sigterm_kills_child_group(tmp_path):
+    """Terminating the supervisor must not orphan the training child."""
+    import signal
+    import time
+
+    pid_file = tmp_path / "child_pid"
+    sup = subprocess.Popen(
+        [sys.executable, "-m",
+         "imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu"
+         ".train.supervisor",
+         "--timeout", "60", "--", sys.executable, "-c",
+         "import os,time\n"
+         "open(os.environ['LIFTING_TPU_HEARTBEAT'],'w').write('x')\n"
+         f"open({str(pid_file)!r},'w').write(str(os.getpid()))\n"
+         "time.sleep(600)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        for _ in range(100):
+            if pid_file.exists() and pid_file.read_text():
+                break
+            time.sleep(0.2)
+        child = int(pid_file.read_text())
+        sup.send_signal(signal.SIGTERM)
+        sup.wait(timeout=30)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                os.kill(child, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.2)
+        else:
+            os.kill(child, signal.SIGKILL)
+            raise AssertionError("child survived supervisor SIGTERM")
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+
+
 def test_agent_heartbeat_hook(tmp_path, monkeypatch):
     """Heartbeat.beat writes the liveness file when the env var is set."""
     path = tmp_path / "hb"

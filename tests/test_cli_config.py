@@ -65,3 +65,51 @@ def test_cli_sweep_end_to_end(tmp_path, monkeypatch):
     assert len(results) == 2
     for entry in results.values():
         assert entry["best_valid_loss"] is not None
+
+
+def test_cli_supervise_flag_wraps_run(tmp_path, monkeypatch):
+    """--supervise re-execs the CLI under the liveness supervisor with
+    resume forced on; --stall-timeout is forwarded."""
+    import sys
+
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu import cli
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train import (
+        supervisor)
+
+    captured = {}
+
+    def fake_supervise(cmd, timeout):
+        captured["cmd"] = cmd
+        captured["timeout"] = timeout
+        return 0
+
+    monkeypatch.setattr(supervisor, "supervise", fake_supervise)
+    path = _write_cfg(tmp_path)
+    assert cli.main(["--supervise", "--stall-timeout", "120", path]) == 0
+    assert captured["timeout"] == 120.0
+    assert captured["cmd"][0] == sys.executable
+    assert captured["cmd"][1:3] == ["-m", cli.__name__]
+    assert "--resume-training" in captured["cmd"]
+    assert path in captured["cmd"]
+    assert "--supervise" not in captured["cmd"]
+
+
+def test_cli_resume_training_override(tmp_path, monkeypatch):
+    """--resume-training forces cfg.resume_training for every sub-run."""
+    monkeypatch.chdir(tmp_path)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu import cli
+
+    seen = []
+
+    def fake_run_agent(cfg):
+        seen.append(cfg.resume_training)
+
+        class A:
+            best_valid_loss = 0.0
+
+        return A()
+
+    monkeypatch.setattr(cli, "run_agent", fake_run_agent)
+    path = _write_cfg(tmp_path)
+    assert cli.main(["--resume-training", path]) == 0
+    assert seen == [True]

@@ -14,11 +14,46 @@ slope — RTT and enqueue effects cancel.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _probe_backend_with_retry(max_retries: int = 6, wait_s: float = 120.0):
+    """The TPU here is reached through a tunneled relay that drops
+    occasionally (UNAVAILABLE backend-init errors). jax caches backend-init
+    failure per process, so on failure we sleep and re-exec this script —
+    bounded by BENCH_RETRY — instead of failing the whole benchmark run.
+    """
+    import threading
+
+    state = {}
+
+    def probe():
+        try:
+            state["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            state["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=300.0)  # a healthy tunnel answers in seconds
+    if "devices" in state:
+        return
+    err = state.get("error", "backend probe hung >300s")
+    tries = int(os.environ.get("BENCH_RETRY", "0"))
+    if tries >= max_retries:
+        raise RuntimeError(f"backend unavailable after {tries} retries: "
+                           f"{err}")
+    print(f"backend unavailable ({err}); retry {tries + 1}/{max_retries} "
+          f"in {wait_s:.0f}s", file=sys.stderr)
+    time.sleep(wait_s)
+    env = dict(os.environ, BENCH_RETRY=str(tries + 1))
+    # execve replaces the process (incl. a probe thread stuck in C code)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.compile_cache import (  # noqa: E402
     enable_compile_cache)
@@ -35,6 +70,7 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state imp
 
 
 def main():
+    _probe_backend_with_retry()
     cfg = flagship_config(dtype="bfloat16")
     model = CodecWrapper(cfg)
     h, w = 512, 768  # Kodak portrait orientation

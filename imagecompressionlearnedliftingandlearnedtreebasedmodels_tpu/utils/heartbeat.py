@@ -44,7 +44,12 @@ class Heartbeat:
             d = os.path.dirname(self.path)
             if d:
                 os.makedirs(d, exist_ok=True)
-            self.beat(force=True)
+        # Deliberately NO beat here: the first beat must mark the first
+        # completed step. An eager init beat would flip the supervisor
+        # from its ``grace`` window (sized for imports + first XLA
+        # compile, minutes on a tunneled accelerator) to the strict
+        # steady-state ``timeout`` while the slowest legitimate quiet
+        # phase — model init + first compile — is still ahead.
 
     def beat(self, force: bool = False) -> None:
         if not self.path:

@@ -145,15 +145,15 @@ def test_sigterm_kills_child_group(tmp_path):
 
 
 def test_agent_heartbeat_hook(tmp_path, monkeypatch):
-    """Heartbeat.beat writes the liveness file when the env var is set."""
+    """Heartbeat.beat writes the liveness file when the env var is set —
+    but construction alone must NOT (the supervisor's grace window for
+    init + first compile only applies until the first beat)."""
     path = tmp_path / "hb"
     monkeypatch.setenv(hb.ENV_VAR, str(path))
     beacon = hb.Heartbeat(min_interval=0.0)
-    assert path.exists()
-    before = hb.age_seconds(str(path))
+    assert not path.exists()
     beacon.beat()
     assert hb.age_seconds(str(path)) is not None
-    assert before is not None
 
 
 def test_heartbeat_noop_without_env(monkeypatch):

@@ -30,12 +30,15 @@ def ycbcr_to_rgb(x):
 
 # Per-channel mean shift used by the reference before the codec:
 # subtract 0.5 from Y only; Cb/Cr are already offset (liftingDWT_agent.py:87).
-YCBCR_SHIFT = jnp.array([0.5, 0.0, 0.0])
+# Kept as a plain tuple: a module-level jnp.array would initialize the
+# default backend at import time (hanging every import — including the
+# driver's CPU-only dryrun — whenever the accelerator transport is down).
+YCBCR_SHIFT = (0.5, 0.0, 0.0)
 
 
 def shift_ycbcr(y):
-    return y - YCBCR_SHIFT
+    return y - jnp.asarray(YCBCR_SHIFT, dtype=y.dtype)
 
 
 def unshift_ycbcr(y):
-    return y + YCBCR_SHIFT
+    return y + jnp.asarray(YCBCR_SHIFT, dtype=y.dtype)

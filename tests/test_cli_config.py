@@ -113,3 +113,25 @@ def test_cli_resume_training_override(tmp_path, monkeypatch):
     path = _write_cfg(tmp_path)
     assert cli.main(["--resume-training", path]) == 0
     assert seen == [True]
+
+
+def test_graft_entry_import_is_backend_free():
+    """Importing the driver entry module must not initialize any jax
+    backend: with the accelerator transport down, a module-level device
+    array would hang every import — including the CPU-only multichip
+    dryrun. (Regression: ops/color.py YCBCR_SHIFT.)"""
+    import subprocess
+    import sys
+
+    code = (
+        "import __graft_entry__\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, 'backend initialized at import'\n"
+        "print('ok')\n")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout

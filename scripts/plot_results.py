@@ -35,6 +35,31 @@ def load_points(name):
     return sorted((v["bpp"], v["psnr"]) for v in d["points"].values())
 
 
+def cross_bd_rates():
+    """BD-rates between the measured curves (same eval set), printed and
+    stamped into rd_flagship.json: flagship vs JPEG, flagship vs cdf97 —
+    the paper's headline relative claim (learned lifting + tree entropy
+    beats the fixed wavelet, reference README.md:16)."""
+    sys.path.insert(0, ROOT)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot import (
+        bd_rate)
+
+    flag_path = os.path.join(ROOT, "results", "rd_flagship.json")
+    flag = json.load(open(flag_path))
+    fl = load_points("rd_flagship")
+    out = {}
+    for anchor_key, name in (("jpeg_anchor", "bd_rate_vs_jpeg_pct"),
+                             ("rd_cdf97", "bd_rate_vs_cdf97_pct")):
+        an = load_points(anchor_key)
+        if len(an) >= 3 and len(fl) >= 3:
+            out[name] = bd_rate([p[0] for p in an], [p[1] for p in an],
+                                [p[0] for p in fl], [p[1] for p in fl])
+            print(f"flagship {name}: {out[name]:.1f}%")
+    flag.update(out)
+    json.dump(flag, open(flag_path, "w"), indent=1)
+    return out
+
+
 def main(out_path=None):
     out_path = out_path or os.path.join(ROOT, "results", "rd_measured.png")
     fig, ax = plt.subplots(figsize=(7.2, 4.6), dpi=150)
@@ -64,6 +89,7 @@ def main(out_path=None):
     fig.tight_layout()
     fig.savefig(out_path)
     print("wrote", out_path)
+    cross_bd_rates()
 
 
 if __name__ == "__main__":

@@ -99,6 +99,11 @@ class Config:
     steps_per_epoch: int = 0        # 0 = full pass over the dataset
     save_every_epochs: int = 0      # >0: rolling checkpoint every N epochs
                                     # (crash insurance on flaky transports)
+    profile_steps: int = 0          # >0: capture a jax.profiler device
+                                    # trace of N early train steps into
+                                    # <log_dir>/trace (TensorBoard format)
+    phase_timers: bool = False      # log per-phase wall-clock totals
+                                    # (data / step / log) each epoch
 
     # --- sweeps ----------------------------------------------------------
     multi_agent: bool = False

@@ -11,6 +11,7 @@ exception triggers a checkpoint save before re-raising
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -65,6 +66,11 @@ class LiftingDWTAgent:
         self.current_epoch = 0
         self.current_iteration = 0
         self.best_valid_loss = float("inf")
+        # SURVEY.md section 5 TPU plan: per-phase timers + device traces
+        # (the reference has no profiling at all)
+        from ..utils.profiling import PhaseTimers
+        self.timers = PhaseTimers()
+        self._trace_on = False
 
         jsonl = f"{cfg.summary_dir}/metrics.jsonl" if cfg.summary_dir else None
         self.train_logger = RDLogger(self.logger, jsonl)
@@ -141,19 +147,45 @@ class LiftingDWTAgent:
                 # transport drop then costs minutes, not the whole run
                 self.save_checkpoint()
 
+    def _profile_tick(self):
+        """Device-trace window: steps [1, 1+profile_steps) of the run
+        (step 0 pays compile and would dominate the trace)."""
+        cfg = self.cfg
+        if cfg.profile_steps <= 0:
+            return
+        if not self._trace_on and self.current_iteration == 1:
+            trace_dir = os.path.join(cfg.log_dir or ".", "trace")
+            jax.profiler.start_trace(trace_dir)
+            self._trace_on = True
+            self.logger.info(f"profiler trace started -> {trace_dir}")
+        elif self._trace_on and (self.current_iteration
+                                 >= 1 + cfg.profile_steps):
+            jax.profiler.stop_trace()
+            self._trace_on = False
+            self.logger.info("profiler trace stopped")
+
     def train_one_epoch(self, epoch: int):
         cfg = self.cfg
         steps = self.data.steps_per_epoch()
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
-        for batch in self.data.train_batches(steps, seed=epoch):
+        batches = iter(self.data.train_batches(steps, seed=epoch))
+        while True:
+            with self.timers.phase("data"):
+                batch = next(batches, None)
+            if batch is None:
+                break
+            self._profile_tick()
             self.rng, step_rng = jax.random.split(self.rng)
             rate_w = jnp.asarray(self.loss_switch.rate_weight(), jnp.float32)
-            self.state, out, aux = self.train_step(
-                self.state, jnp.asarray(batch), step_rng, lr, rate_w)
+            with self.timers.phase("step"):
+                self.state, out, aux = self.train_step(
+                    self.state, jnp.asarray(batch), step_rng, lr, rate_w)
+                # readback is the device sync point: step time includes
+                # the device work, not just the async enqueue
+                vals = (float(out.loss), float(out.mse),
+                        float(out.rate1), float(out.rate2))
             self.current_iteration += 1
             self.heartbeat.beat()
-            vals = (float(out.loss), float(out.mse),
-                    float(out.rate1), float(out.rate2))
             self.train_logger(*vals)
             self.trnit_logger(*vals)
             if (self.current_iteration + 1) % cfg.loss_prnt_iters == 0:
@@ -168,6 +200,11 @@ class LiftingDWTAgent:
         rd, _, _, _ = self.train_logger.display(
             lr=self.scheduler.lr, typ="tr", step=self.current_iteration)
         self.scheduler.step(rd)
+        if self._trace_on:  # epoch shorter than the requested window
+            jax.profiler.stop_trace()
+            self._trace_on = False
+        if cfg.phase_timers:
+            self.logger.info("phase timers:\n" + self.timers.report())
 
     def validate(self) -> float:
         psnrs, r1s, r2s = [], [], []

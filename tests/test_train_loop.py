@@ -147,3 +147,23 @@ def test_agent_test_mode_tiles_highres(tmp_path):
     agent = LiftingDWTAgent(cfg)
     psnr, bpp = agent.test()
     assert np.isfinite(psnr) and bpp > 0
+
+
+def test_agent_profiling_hooks(tmp_path, caplog):
+    """profile_steps captures a device trace; phase_timers logs per-phase
+    wall-clock totals (SURVEY.md section 5 TPU profiling plan)."""
+    cfg = _tiny_cfg(steps_per_epoch=3, max_epoch=1, profile_steps=1,
+                    phase_timers=True)
+    cfg.log_dir = str(tmp_path / "logs")
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+    agent = LiftingDWTAgent(cfg)
+    agent.run()
+    assert not agent._trace_on
+    trace_dir = os.path.join(cfg.log_dir, "trace")
+    assert os.path.isdir(trace_dir)
+    assert any(os.scandir(trace_dir)), "profiler trace wrote no files"
+    assert agent.timers.counts["step"] == 3
+    assert agent.timers.counts["data"] == 4  # includes the exhausted next()
+    assert "step" in agent.timers.report()

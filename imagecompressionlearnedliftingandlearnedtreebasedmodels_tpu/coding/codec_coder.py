@@ -9,7 +9,8 @@ O(H*W) per-pixel Python loop per subband (``:469-556``); here
 
 - factorized / onlyEZWT: ONE device pass + one host rANS call per tensor
   (the models have no intra-subband serial dependency),
-- ZTBlock: 4 batched passes per subband (polyphase cosets),
+- ZTBlock: 4 batched passes per LEVEL (polyphase cosets; all subband
+  channels of a coset share one dispatch via ``level_coset_params``),
 - ZTsepSubbands: wavefront anti-diagonal decode (see ``wavefront.py``).
 
 Decode-consistency contract: every context input is the *decoded* value
@@ -427,21 +428,28 @@ class CodecCoder:
         data, hat = self._eb_encode(
             np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
         xo_streams[L - 1], xo_hats[L - 1] = data, hat
-        con = hat
+        con = jnp.asarray(hat)
         for step, lvl in enumerate(range(L - 2, -1, -1)):
             x_lvl = np.asarray(xo_list[lvl])
-            hats, datas = [], []
-            for j in range(3 * c):
-                idx = step * 3 * c + j
-                parent = jnp.asarray(con[..., j:j + 1])
-                x_ch = x_lvl[..., j:j + 1]
-                hat_ch, chunk = self._code_channel_cosets(
-                    plane, idx, parent, x_ch, None)
-                hats.append(hat_ch)
-                datas.append(chunk)
+            x_cosets = [x_lvl[:, 0::2, 0::2], x_lvl[:, 0::2, 1::2],
+                        x_lvl[:, 1::2, 0::2], x_lvl[:, 1::2, 1::2]]
+            cosets: List[jnp.ndarray] = []
+            datas: List[bytes] = []
+            # one device dispatch per coset covers ALL subband channels
+            # (level_coset_params traces the per-channel dep nets together)
+            for k in range(4):
+                sym, sidx, hat_k = self._fused_enc(
+                    plane, "level_coset_params", step, k)(
+                        jnp.asarray(x_cosets[k]), con, *cosets)
+                sym, sidx = jax.device_get((sym, sidx))
+                datas.append(rans.encode_with_indexes(
+                    sym.ravel(), sidx.ravel(), self._gc_cdfs,
+                    self._gc_lengths, self._gc_offsets))
+                cosets.append(hat_k)
             xo_streams[lvl] = _pack_chunks(datas)
-            xo_hats[lvl] = np.concatenate(hats, axis=-1)
-            con = xo_hats[lvl]
+            from ..entropy.models import _interleave_cosets
+            con = _interleave_cosets(*cosets)
+            xo_hats[lvl] = np.asarray(con)
         return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
 
     def _decompress_ztblock(self, plane, streams, xe_shape, xo_shapes):
@@ -452,55 +460,22 @@ class CodecCoder:
         xo_hat[L - 1] = self._eb_decode(
             streams.xo[L - 1], xo_shapes[L - 1],
             self._eb_table(plane, "eb_xo"))
-        con = xo_hat[L - 1]
+        con = jnp.asarray(xo_hat[L - 1])
         for step, lvl in enumerate(range(L - 2, -1, -1)):
-            chunks = _unpack_chunks(streams.xo[lvl])
-            hats = []
-            for j in range(3 * c):
-                idx = step * 3 * c + j
-                parent = jnp.asarray(con[..., j:j + 1])
-                hat_ch, _ = self._code_channel_cosets(
-                    plane, idx, parent, None, chunks[j])
-                hats.append(hat_ch)
-            xo_hat[lvl] = np.concatenate(hats, axis=-1)
-            con = xo_hat[lvl]
-        return xe_hat, xo_hat
-
-    def _code_channel_cosets(self, plane, idx, parent, x_ch, chunks_in):
-        """Shared encode/decode driver for one subband channel's 4 cosets.
-
-        Encode mode (``x_ch`` given): returns (hat_channel, [4 streams]).
-        Decode mode (``chunks_in`` given): returns (hat_channel, None).
-        """
-        encode = x_ch is not None
-        cosets: List[Optional[jnp.ndarray]] = [None] * 4
-        chunks_out: List[bytes] = []
-        if encode:
-            x_cosets = [x_ch[:, 0::2, 0::2], x_ch[:, 0::2, 1::2],
-                        x_ch[:, 1::2, 0::2], x_ch[:, 1::2, 1::2]]
-        for k in range(4):
-            prev = [cosets[m] for m in range(k)]
-            if encode:
-                sym, sidx, hat = self._fused_enc(
-                    plane, "coset_params", idx, k)(
-                        jnp.asarray(x_cosets[k]), parent, *prev)
-                sym, sidx = jax.device_get((sym, sidx))
-                chunks_out.append(rans.encode_with_indexes(
-                    sym.ravel(), sidx.ravel(), self._gc_cdfs,
-                    self._gc_lengths, self._gc_offsets))
-            else:
+            (chunks,) = _unpack_chunks(streams.xo[lvl])
+            cosets: List[jnp.ndarray] = []
+            for k in range(4):
                 sidx, mu = self._fused_dec_params(
-                    plane, "coset_params", idx, k)(parent, *prev)
+                    plane, "level_coset_params", step, k)(con, *cosets)
                 sidx, mu = jax.device_get((sidx, mu))
                 symbols = rans.decode_with_indexes(
-                    chunks_in[k], sidx.ravel(), self._gc_cdfs,
+                    chunks[k], sidx.ravel(), self._gc_cdfs,
                     self._gc_lengths, self._gc_offsets).reshape(sidx.shape)
-                hat = jnp.asarray(symbols.astype(np.float32) + mu)
-            cosets[k] = hat
-        from ..entropy.models import _interleave_cosets
-        hat_ch = np.asarray(_interleave_cosets(
-            *[jnp.asarray(cc) for cc in cosets]))
-        return hat_ch, (chunks_out if encode else None)
+                cosets.append(jnp.asarray(symbols.astype(np.float32) + mu))
+            from ..entropy.models import _interleave_cosets
+            con = _interleave_cosets(*cosets)
+            xo_hat[lvl] = np.asarray(con)
+        return xe_hat, xo_hat
 
     # --- top level ------------------------------------------------------
     def compress_decompress(self, batch: np.ndarray) -> CodecResult:

@@ -370,13 +370,26 @@ class ZTBlock(nn.Module):
                                      for k in range(4)])
         return sigma, mu
 
-    def coset_params(self, idx: int, k: int, parent_ch, *prev_cosets):
-        """(sigma, mu) for coset k of dep-net idx, given the parent channel
-        and the k already-decoded cosets — one batched conv pass per coset
-        on the coding path."""
-        dep = (jnp.concatenate([parent_ch, *prev_cosets], axis=-1)
-               if prev_cosets else parent_ch)
-        return self.dep_sigma[idx][k](dep), self.dep_mu[idx][k](dep)
+    def level_coset_params(self, step: int, k: int, parents, *prev_cosets):
+        """(sigma, mu) for coset k of ALL subband channels of finer-level
+        ``step`` in one pass — the coding path's unit of device dispatch.
+
+        ``parents``: the decoded parent level (B, h2, w2, 3c);
+        ``prev_cosets``: the k already-decoded cosets, same shape. Each
+        channel has its own dep nets (reference per-(level, subband)
+        modules, ``LiftingBasedDWT_net.py:618-680``); the trace loops over
+        them so XLA compiles one program per coset, turning 3c round
+        trips into one on tunneled/remote accelerators."""
+        c3 = 3 * self.cfg.clrch
+        sigmas, mus = [], []
+        for j in range(c3):
+            dep = jnp.concatenate(
+                [parents[..., j:j + 1]]
+                + [p[..., j:j + 1] for p in prev_cosets], axis=-1)
+            idx = step * c3 + j
+            sigmas.append(self.dep_sigma[idx][k](dep))
+            mus.append(self.dep_mu[idx][k](dep))
+        return jnp.concatenate(sigmas, -1), jnp.concatenate(mus, -1)
 
     def __call__(self, xe, xo_list, training: bool = True):
         cfg = self.cfg

@@ -87,6 +87,7 @@ def train_postprocess(agent) -> None:
                 agent.state.params, pp_variables, opt_state,
                 jnp.asarray(batch), srng, jnp.asarray(scheduler.lr))
             mses.append(float(out.mse))
+            agent.heartbeat.beat()  # liveness for supervised runs
             agent.train_logger(float(out.loss), float(out.mse),
                                float(out.rate1), float(out.rate2))
         agent.train_logger.display(lr=scheduler.lr, typ="tr")
@@ -95,6 +96,7 @@ def train_postprocess(agent) -> None:
         for batch in agent.data.valid_batches():
             out = eval_step(agent.state.params, pp_variables,
                             jnp.asarray(batch))
+            agent.heartbeat.beat()
             agent.valid_logger(float(out.loss), float(out.mse),
                                float(out.rate1), float(out.rate2))
         agent.valid_logger.display(lr=0.0, typ="va")

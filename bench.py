@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _probe_backend_with_retry(max_retries: int = 6, wait_s: float = 120.0):
+def _probe_backend_with_retry(max_retries: int = 10, wait_s: float = 240.0):
     """The TPU here is reached through a tunneled relay that drops
     occasionally (UNAVAILABLE backend-init errors). jax caches backend-init
     failure per process, so on failure we sleep and re-exec this script —

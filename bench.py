@@ -140,7 +140,8 @@ def bench_real_coding():
                      np.float32)[None] / 255.0
     img = np.concatenate([img, img[:, :, :256]], axis=2)  # (1,512,768,3)
     for name, entropy in (("onlyEZWT", "onlyEZWT"),
-                          ("ztsep", "conditioned2ZTsepSubbands")):
+                          ("ztsep", "conditioned2ZTsepSubbands"),
+                          ("ztblock", "DWTConditioned2EntropyLayerZTBlock")):
         cfg = flagship_config(entropy_layer=entropy)
         model = CodecWrapper(cfg)
         state = init_state(cfg, model, jnp.zeros((1, 64, 64, 3)),

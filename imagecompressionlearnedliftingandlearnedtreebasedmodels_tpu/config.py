@@ -126,6 +126,11 @@ class Config:
     # --- TPU execution (new; no reference equivalent, SURVEY.md §2.4) ----
     mesh_shape: Sequence[int] = (1,)    # data-parallel mesh axes
     mesh_axis_names: Sequence[str] = ("data",)
+    steps_per_call: int = 1             # >1: lax.scan this many optimizer
+    #   steps inside ONE device dispatch (single-device path only). On a
+    #   tunneled backend each dispatch+readback costs ~25-40 ms RTT, so
+    #   per-step dispatch caps training at ~5 steps/s regardless of compute;
+    #   chunking k steps amortizes the RTT to ~1/k per step.
     dtype: str = "float32"              # compute dtype of transform path
     tile_size: int = 0                  # >0: spatially tiled encode with halo
     jit_backend: Optional[str] = None

@@ -168,27 +168,42 @@ class ImageDataLoader:
         self.train_files = list_images(train_dirs)
         self.valid_files = list_images([cfg.valid_data])
         self.test_files = list_images([cfg.test_data])
+        self._img_cache: dict = {}
+        self._img_cache_bytes = 0
         self._synth: Optional[List[np.ndarray]] = None
         if synthetic_fallback and not self.train_files:
             self._synth = synthetic_images(
                 32, max(cfg.patch_size, 64), seed=cfg.seed)
 
     # --- train ----------------------------------------------------------
-    def train_batches(self, steps: int, seed: int = 0
+    def train_batches(self, steps: int, seed: int = 0, chunk: int = 1
                       ) -> Iterator[np.ndarray]:
-        """``steps`` random-patch batches, prefetched on a worker thread."""
+        """``steps`` random-patch batches, prefetched on a worker thread.
+
+        ``chunk > 1`` yields ``steps/chunk`` stacked uint8 arrays of shape
+        ``(chunk, B, P, P, 3)`` for the ``steps_per_call`` scanned train
+        step (``train/state.py::make_chained_train_step``) — uint8 uploads
+        are 4x smaller than float32 and the device-side ``/255`` conversion
+        is bit-identical. The patch-draw RNG sequence is the same either
+        way, so per-step batches match the unchunked path exactly.
+        """
         cfg = self.cfg
+        if chunk > 1 and steps % chunk:
+            raise ValueError(f"steps ({steps}) not divisible by chunk "
+                             f"({chunk})")
 
         def produce(q: "queue.Queue"):
             rng = np.random.RandomState(cfg.seed + seed)
-            for _ in range(steps):
-                batch = np.empty(
-                    (cfg.batch_size, cfg.patch_size, cfg.patch_size, 3),
-                    np.float32)
-                for b in range(cfg.batch_size):
-                    img = self._draw_train_image(rng)
-                    batch[b] = _random_patch(img, cfg.patch_size, rng) / 255.0
-                q.put(batch)
+            for _ in range(steps // chunk):
+                arr = np.empty(
+                    (chunk, cfg.batch_size, cfg.patch_size, cfg.patch_size,
+                     3), np.uint8)
+                for c in range(chunk):
+                    for b in range(cfg.batch_size):
+                        img = self._draw_train_image(rng)
+                        arr[c, b] = _random_patch(img, cfg.patch_size, rng)
+                q.put(arr if chunk > 1
+                      else arr[0].astype(np.float32) / 255.0)
             q.put(None)
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
@@ -200,9 +215,21 @@ class ImageDataLoader:
                 return
             yield item
 
+    # decoded-image cache: patch sampling re-decodes the same PNGs
+    # constantly (8 decodes/step), which is pure waste on a 1-core host.
+    # Bounded by bytes so a large-image corpus can't exhaust RAM.
+    _CACHE_BYTES = 512 * 1024 * 1024
+
     def _draw_train_image(self, rng) -> np.ndarray:
         if self.train_files:
-            return _load_rgb(self.train_files[rng.randint(len(self.train_files))])
+            path = self.train_files[rng.randint(len(self.train_files))]
+            img = self._img_cache.get(path)
+            if img is None:
+                img = _load_rgb(path)
+                if self._img_cache_bytes + img.nbytes <= self._CACHE_BYTES:
+                    self._img_cache[path] = img
+                    self._img_cache_bytes += img.nbytes
+            return img
         assert self._synth is not None, "no training data and no fallback"
         return self._synth[rng.randint(len(self._synth))]
 

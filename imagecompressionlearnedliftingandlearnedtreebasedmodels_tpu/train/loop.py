@@ -52,6 +52,10 @@ class LiftingDWTAgent:
             self.train_step = make_train_step(cfg, self.model, self.tx)
             self.eval_step = make_eval_step(cfg, self.model)
             self._shard_state = lambda s: s
+            if cfg.steps_per_call > 1:
+                from .state import make_chained_train_step
+                self.chained_step = make_chained_train_step(
+                    cfg, self.model, self.tx)
 
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros(
@@ -164,39 +168,69 @@ class LiftingDWTAgent:
             self._trace_on = False
             self.logger.info("profiler trace stopped")
 
+    def _chunk_size(self, steps: int) -> int:
+        """Effective ``steps_per_call``: chunking must align with the
+        ``loss_prnt_iters`` window (the loss switch may only flip rate_w at
+        a chunk boundary — rate_w is constant inside a scanned chunk) and
+        with the epoch length. Misaligned configs fall back to per-step
+        dispatch rather than changing semantics."""
+        k = self.cfg.steps_per_call
+        if k <= 1 or self.mesh is not None:
+            return 1
+        if steps % k or self.cfg.loss_prnt_iters % k:
+            self.logger.warning(
+                f"steps_per_call={k} does not divide steps_per_epoch="
+                f"{steps} and loss_prnt_iters={self.cfg.loss_prnt_iters}; "
+                f"using per-step dispatch")
+            return 1
+        return k
+
     def train_one_epoch(self, epoch: int):
         cfg = self.cfg
         steps = self.data.steps_per_epoch()
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
-        batches = iter(self.data.train_batches(steps, seed=epoch))
+        k = self._chunk_size(steps)
+        batches = iter(self.data.train_batches(steps, seed=epoch, chunk=k))
         while True:
             with self.timers.phase("data"):
                 batch = next(batches, None)
             if batch is None:
                 break
             self._profile_tick()
-            self.rng, step_rng = jax.random.split(self.rng)
             rate_w = jnp.asarray(self.loss_switch.rate_weight(), jnp.float32)
-            with self.timers.phase("step"):
-                self.state, out, aux = self.train_step(
-                    self.state, jnp.asarray(batch), step_rng, lr, rate_w)
-                # readback is the device sync point: step time includes
-                # the device work, not just the async enqueue
-                vals = (float(out.loss), float(out.mse),
-                        float(out.rate1), float(out.rate2))
-            self.current_iteration += 1
+            if k > 1:
+                keys = jax.random.split(self.rng, k + 1)
+                self.rng = keys[0]
+                with self.timers.phase("step"):
+                    self.state, ms = self.chained_step(
+                        self.state, jnp.asarray(batch), keys[1:], lr,
+                        rate_w)
+                    # ONE (k, 4) readback syncs the whole chunk
+                    rows = [tuple(map(float, r)) for r in np.asarray(ms)]
+            else:
+                self.rng, step_rng = jax.random.split(self.rng)
+                with self.timers.phase("step"):
+                    self.state, out, aux = self.train_step(
+                        self.state, jnp.asarray(batch), step_rng, lr,
+                        rate_w)
+                    # readback is the device sync point: step time includes
+                    # the device work, not just the async enqueue
+                    rows = [(float(out.loss), float(out.mse),
+                             float(out.rate1), float(out.rate2))]
             self.heartbeat.beat()
-            self.train_logger(*vals)
-            self.trnit_logger(*vals)
-            if (self.current_iteration + 1) % cfg.loss_prnt_iters == 0:
-                _, it_mse, _, _ = self.trnit_logger.display(
-                    lr=self.scheduler.lr, typ="it",
-                    step=self.current_iteration)
-                was_off = not self.loss_switch.rate_on
-                self.loss_switch.observe_window_mse(it_mse)
-                if was_off and self.loss_switch.rate_on:
-                    self.logger.info(
-                        "loss switch: D-only -> Rate + lambda*Distortion")
+            for vals in rows:
+                self.current_iteration += 1
+                self.train_logger(*vals)
+                self.trnit_logger(*vals)
+                if (self.current_iteration + 1) % cfg.loss_prnt_iters == 0:
+                    _, it_mse, _, _ = self.trnit_logger.display(
+                        lr=self.scheduler.lr, typ="it",
+                        step=self.current_iteration)
+                    was_off = not self.loss_switch.rate_on
+                    self.loss_switch.observe_window_mse(it_mse)
+                    if was_off and self.loss_switch.rate_on:
+                        self.logger.info(
+                            "loss switch: D-only -> Rate + lambda*Distortion")
         rd, _, _, _ = self.train_logger.display(
             lr=self.scheduler.lr, typ="tr", step=self.current_iteration)
         self.scheduler.step(rd)

@@ -66,37 +66,80 @@ def apply_color_forward(cfg: Config, model, params, x, training, rng):
     return x - 0.5, xhat - 0.5, info_xe, info_xo, aux
 
 
+def _one_train_step(cfg: Config, model, tx, state: TrainState, batch, rng,
+                    lr, rate_weight) -> Tuple[TrainState, RDLossOutput,
+                                              jnp.ndarray]:
+    """One optimizer step (traceable; shared by the jitted per-step and
+    scanned ``steps_per_call`` paths). The reference's ``grad_acc_iters``
+    quirk — loss divided by the divisor but the optimizer stepped every
+    iteration (``liftingDWT_agent.py:97-98``) — is reproduced by the 1/k
+    loss scale."""
+    loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
+
+    def loss_fn(params):
+        xs, xhat, info_xe, info_xo, aux = apply_color_forward(
+            cfg, model, params, batch, True, rng)
+        out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
+                       rate_weight)
+        return (out.loss + aux) * loss_scale, (out, aux)
+
+    grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = lr
+    updates, opt_state = tx.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), out, aux
+
+
 def make_train_step(cfg: Config, model, tx):
     """Build the jitted train step.
 
     ``rate_weight`` (0.0 or 1.0) implements the loss switch; ``lr`` feeds the
     plateau scheduler's current rate. Aux (quantile) losses are added with
     stop-gradient separation so they only train bottleneck quantiles.
-    The reference's ``grad_acc_iters`` quirk — loss divided by the divisor but
-    the optimizer stepped every iteration (``liftingDWT_agent.py:97-98``) —
-    is reproduced by the 1/k loss scale.
     """
-
-    loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng, lr, rate_weight
                    ) -> Tuple[TrainState, RDLossOutput, jnp.ndarray]:
-        def loss_fn(params):
-            xs, xhat, info_xe, info_xo, aux = apply_color_forward(
-                cfg, model, params, batch, True, rng)
-            out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
-                           rate_weight)
-            return (out.loss + aux) * loss_scale, (out, aux)
-
-        grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), out, aux
+        return _one_train_step(cfg, model, tx, state, batch, rng, lr,
+                               rate_weight)
 
     return train_step
+
+
+def make_chained_train_step(cfg: Config, model, tx):
+    """``k = cfg.steps_per_call`` optimizer steps in ONE device dispatch.
+
+    On the tunneled TPU each dispatch + metric readback costs ~25-40 ms of
+    RTT, which dominates the ~20 ms of compute per 8x64x64 train step and
+    caps per-step dispatch at ~5 steps/s. ``lax.scan`` over k steps with all
+    k batches uploaded at once and a single (k, 4) metrics readback
+    amortizes the RTT to ~1/k per step. Batches may be uint8 (converted to
+    [0, 1] float on device — 4x smaller uploads, bit-identical to the host
+    ``/255`` conversion).
+
+    Semantically identical to k sequential ``make_train_step`` calls with
+    the same per-step rngs and a constant (lr, rate_weight) across the
+    chunk — host controllers (plateau scheduler, loss switch) only update
+    on ``loss_prnt_iters``/epoch boundaries, so the loop keeps chunks
+    aligned to those (``train/loop.py``).
+    """
+
+    @jax.jit
+    def chained_step(state: TrainState, batches, rngs, lr, rate_weight):
+        def body(st, xs):
+            batch, rng = xs
+            if batch.dtype == jnp.uint8:
+                batch = batch.astype(jnp.float32) / 255.0
+            st, out, _ = _one_train_step(cfg, model, tx, st, batch, rng,
+                                         lr, rate_weight)
+            return st, jnp.stack([out.loss, out.mse, out.rate1, out.rate2])
+
+        state, metrics = jax.lax.scan(body, state, (batches, rngs))
+        return state, metrics  # metrics: (k, 4) — one readback per chunk
+
+    return chained_step
 
 
 def make_eval_step(cfg: Config, model):

@@ -98,6 +98,8 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
         validate_every=10 ** 9,  # no mid-run validation; test at the end
         save_every_epochs=5,     # tunnel-drop insurance (~2500 steps)
         loss_prnt_iters=250, training_loss_switch=1,
+        steps_per_call=10,   # scan 10 steps/dispatch: the tunneled backend's
+        #   ~25-40 ms per-dispatch RTT otherwise dominates the ~20 ms step
         train_data_1=train_dir, test_data=eval_dir, valid_data=eval_dir,
         test_patch_size=0, val_patch_size=256,
         dtype="bfloat16")

@@ -167,3 +167,70 @@ def test_agent_profiling_hooks(tmp_path, caplog):
     assert agent.timers.counts["step"] == 3
     assert agent.timers.counts["data"] == 4  # includes the exhausted next()
     assert "step" in agent.timers.report()
+
+def test_chained_train_step_matches_sequential():
+    """steps_per_call chunking (state.py::make_chained_train_step) is
+    semantically identical to k sequential train_step calls with the same
+    per-step rngs and constant (lr, rate_w) — params and per-step metrics
+    must match to float tolerance, with uint8 batches converted on device."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+        make_chained_train_step)
+
+    k = 4
+    cfg = _tiny_cfg(steps_per_call=k)
+    model = CodecWrapper(cfg)
+    tx = make_optimizer(cfg)
+    step = make_train_step(cfg, model, tx)
+    chained = make_chained_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(3)
+    state0 = init_state(cfg, model, jnp.zeros((cfg.batch_size, 32, 32, 3)),
+                        rng)
+    rngs = jax.random.split(jax.random.PRNGKey(11), k)
+    batches_u8 = np.stack(
+        [np.stack([synthetic_images(1, 32, seed=10 * i + b)[0]
+                   for b in range(cfg.batch_size)]) for i in range(k)])
+    assert batches_u8.dtype == np.uint8
+    lr = jnp.asarray(cfg.learning_rate)
+    one = jnp.asarray(1.0)
+
+    # sequential reference
+    st = state0
+    seq = []
+    for i in range(k):
+        st, out, _ = step(st, jnp.asarray(batches_u8[i], jnp.float32) / 255.0,
+                          rngs[i], lr, one)
+        seq.append([float(out.loss), float(out.mse), float(out.rate1),
+                    float(out.rate2)])
+
+    st_c, ms = chained(state0, jnp.asarray(batches_u8), rngs, lr, one)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(seq),
+                               rtol=2e-4, atol=2e-5)
+    flat_a = jax.tree_util.tree_leaves(st.params)
+    flat_b = jax.tree_util.tree_leaves(st_c.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert int(st_c.step) == k
+
+
+def test_agent_chunked_epoch_matches_iteration_bookkeeping(tmp_path):
+    """The agent's chunked epoch keeps iteration counts, loggers, and the
+    loss-print window aligned (loss switch may only flip at chunk ends)."""
+    cfg = _tiny_cfg(steps_per_epoch=4, max_epoch=1, loss_prnt_iters=2,
+                    steps_per_call=2)
+    cfg.log_dir = str(tmp_path / "logs")
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+    agent = LiftingDWTAgent(cfg)
+    agent.run()
+    assert agent.current_iteration == 4
+    assert agent.timers.counts["step"] == 2  # 2 chunks of 2 steps
+
+    # misaligned chunking falls back to per-step dispatch with a warning
+    cfg2 = _tiny_cfg(steps_per_epoch=5, max_epoch=1, loss_prnt_iters=2,
+                     steps_per_call=2)
+    cfg2.log_dir = str(tmp_path / "logs2")
+    os.makedirs(cfg2.log_dir, exist_ok=True)
+    agent2 = LiftingDWTAgent(cfg2)
+    assert agent2._chunk_size(5) == 1

@@ -69,7 +69,48 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state imp
     init_state, make_eval_step)
 
 
+def _stop_background_runs(pidfiles=("/tmp/rd_sweep.pid", "/tmp/probe.pid")):
+    """The driver runs this bench unattended at round end, possibly while a
+    long supervised training run still holds the TPU and the single CPU
+    core; measuring under that contention corrupts both the surrogate and
+    the coding numbers. Stop known background runs first — strictly by
+    recorded PID from our own pid files (never by name/pattern). SIGTERM to
+    the supervisor makes it SIGKILL its child process group
+    (train/supervisor.py::_terminate); the agent checkpoints every
+    ``save_every_epochs`` so at most ~2500 steps are lost.
+    """
+    import signal
+
+    killed = False
+    for pidfile in pidfiles:
+        try:
+            pid = int(open(pidfile).read().strip())
+        except (OSError, ValueError):
+            continue
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except ProcessLookupError:
+            continue
+        killed = True
+        print(f"bench: stopping background run pid={pid} ({pidfile})",
+              file=sys.stderr)
+        for _ in range(20):
+            time.sleep(1)
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                break
+        else:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+    if killed:
+        time.sleep(10)  # let the backend free the held buffers
+
+
 def main():
+    _stop_background_runs()
     _probe_backend_with_retry()
     cfg = flagship_config(dtype="bfloat16")
     model = CodecWrapper(cfg)

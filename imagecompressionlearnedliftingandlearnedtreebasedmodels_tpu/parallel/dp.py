@@ -41,9 +41,9 @@ def make_dp_train_step(cfg: Config, model, tx, mesh: Mesh):
     repl = mesh_lib.replicated(mesh)
     bsh = mesh_lib.batch_sharding(mesh)
 
-    def dp_step(state: TrainState, batch, rng, lr, rate_weight):
+    def dp_step(state: TrainState, batch, rng, lr, rate_weight, lam=None):
         batch = jax.device_put(batch, bsh)
-        return base_step(state, batch, rng, lr, rate_weight)
+        return base_step(state, batch, rng, lr, rate_weight, lam)
 
     def shard_state(state: TrainState) -> TrainState:
         return jax.device_put(state, repl)
@@ -69,14 +69,14 @@ def make_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(axis))
 
-    def per_device_step(state: TrainState, batch, rng, lr, rate_weight):
+    def per_device_step(state: TrainState, batch, rng, lr, rate_weight,
+                        lam):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_fn(params):
             xs, xhat, info_xe, info_xo, aux = apply_color_forward(
                 cfg, model, params, batch, True, rng)
-            out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
-                           rate_weight)
+            out = rd_loss3(xs, xhat, info_xe, info_xo, lam, rate_weight)
             return (out.loss + aux) * loss_scale, (out, aux)
 
         grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -91,14 +91,20 @@ def make_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
 
     sharded = jax.shard_map(
         per_device_step, mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P()),
+        in_specs=(P(), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
 
     @jax.jit
-    def dp_step(state: TrainState, batch, rng, lr, rate_weight):
+    def jitted(state: TrainState, batch, rng, lr, rate_weight, lam):
         return sharded(state, batch, jnp.asarray(rng), jnp.asarray(lr),
-                       jnp.asarray(rate_weight))
+                       jnp.asarray(rate_weight), lam)
+
+    def dp_step(state, batch, rng, lr, rate_weight, lam=None):
+        if lam is None:
+            lam = cfg.lambda_
+        return jitted(state, batch, rng, lr, rate_weight,
+                      jnp.asarray(lam, jnp.float32))
 
     def shard_state(state: TrainState) -> TrainState:
         return jax.device_put(state, repl)

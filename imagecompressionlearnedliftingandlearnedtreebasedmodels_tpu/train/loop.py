@@ -222,7 +222,11 @@ class LiftingDWTAgent:
                 self.current_iteration += 1
                 self.train_logger(*vals)
                 self.trnit_logger(*vals)
-                if (self.current_iteration + 1) % cfg.loss_prnt_iters == 0:
+                # trigger exactly at multiples of loss_prnt_iters: with
+                # chunked dispatch (k | loss_prnt_iters) this is a chunk
+                # boundary, so rate_w flips before the next dispatch and the
+                # chunked path matches the unchunked one step-for-step
+                if self.current_iteration % cfg.loss_prnt_iters == 0:
                     _, it_mse, _, _ = self.trnit_logger.display(
                         lr=self.scheduler.lr, typ="it",
                         step=self.current_iteration)

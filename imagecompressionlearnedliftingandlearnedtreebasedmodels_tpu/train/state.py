@@ -67,20 +67,20 @@ def apply_color_forward(cfg: Config, model, params, x, training, rng):
 
 
 def _one_train_step(cfg: Config, model, tx, state: TrainState, batch, rng,
-                    lr, rate_weight) -> Tuple[TrainState, RDLossOutput,
-                                              jnp.ndarray]:
+                    lr, rate_weight, lam) -> Tuple[TrainState, RDLossOutput,
+                                                   jnp.ndarray]:
     """One optimizer step (traceable; shared by the jitted per-step and
     scanned ``steps_per_call`` paths). The reference's ``grad_acc_iters``
     quirk — loss divided by the divisor but the optimizer stepped every
     iteration (``liftingDWT_agent.py:97-98``) — is reproduced by the 1/k
-    loss scale."""
+    loss scale. ``lam`` is a *traced* scalar (not baked into the graph) so
+    every lambda in an RD sweep shares one compiled program."""
     loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
 
     def loss_fn(params):
         xs, xhat, info_xe, info_xo, aux = apply_color_forward(
             cfg, model, params, batch, True, rng)
-        out = rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_,
-                       rate_weight)
+        out = rd_loss3(xs, xhat, info_xe, info_xo, lam, rate_weight)
         return (out.loss + aux) * loss_scale, (out, aux)
 
     grads, (out, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -97,13 +97,22 @@ def make_train_step(cfg: Config, model, tx):
     ``rate_weight`` (0.0 or 1.0) implements the loss switch; ``lr`` feeds the
     plateau scheduler's current rate. Aux (quantile) losses are added with
     stop-gradient separation so they only train bottleneck quantiles.
+    ``lam`` defaults to ``cfg.lambda_`` but is fed to the program as a
+    runtime scalar, so an RD sweep over lambdas reuses ONE compiled graph
+    (each lambda previously paid a fresh ~10 min flagship TPU compile).
     """
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng, lr, rate_weight
-                   ) -> Tuple[TrainState, RDLossOutput, jnp.ndarray]:
+    def jitted(state: TrainState, batch, rng, lr, rate_weight, lam
+               ) -> Tuple[TrainState, RDLossOutput, jnp.ndarray]:
         return _one_train_step(cfg, model, tx, state, batch, rng, lr,
-                               rate_weight)
+                               rate_weight, lam)
+
+    def train_step(state, batch, rng, lr, rate_weight, lam=None):
+        if lam is None:
+            lam = cfg.lambda_
+        return jitted(state, batch, rng, lr, rate_weight,
+                      jnp.asarray(lam, jnp.float32))
 
     return train_step
 
@@ -127,17 +136,23 @@ def make_chained_train_step(cfg: Config, model, tx):
     """
 
     @jax.jit
-    def chained_step(state: TrainState, batches, rngs, lr, rate_weight):
+    def jitted(state: TrainState, batches, rngs, lr, rate_weight, lam):
         def body(st, xs):
             batch, rng = xs
             if batch.dtype == jnp.uint8:
                 batch = batch.astype(jnp.float32) / 255.0
             st, out, _ = _one_train_step(cfg, model, tx, st, batch, rng,
-                                         lr, rate_weight)
+                                         lr, rate_weight, lam)
             return st, jnp.stack([out.loss, out.mse, out.rate1, out.rate2])
 
         state, metrics = jax.lax.scan(body, state, (batches, rngs))
         return state, metrics  # metrics: (k, 4) — one readback per chunk
+
+    def chained_step(state, batches, rngs, lr, rate_weight, lam=None):
+        if lam is None:
+            lam = cfg.lambda_
+        return jitted(state, batches, rngs, lr, rate_weight,
+                      jnp.asarray(lam, jnp.float32))
 
     return chained_step
 
@@ -155,11 +170,16 @@ def make_eval_step(cfg: Config, model):
     """
 
     @jax.jit
-    def eval_step(params, batch) -> RDLossOutput:
+    def jitted(params, batch, lam) -> RDLossOutput:
         xs, xhat, info_xe, info_xo, _ = apply_color_forward(
             cfg, model, params, batch, False, None)
         xhat = jnp.clip(xhat, -0.5, 0.5)
-        return rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_, 1.0)
+        return rd_loss3(xs, xhat, info_xe, info_xo, lam, 1.0)
+
+    def eval_step(params, batch, lam=None):
+        if lam is None:
+            lam = cfg.lambda_
+        return jitted(params, batch, jnp.asarray(lam, jnp.float32))
 
     return eval_step
 

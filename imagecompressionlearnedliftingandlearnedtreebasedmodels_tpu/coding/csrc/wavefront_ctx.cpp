@@ -53,6 +53,12 @@ inline void grouped_gemm_lrelu_T(const float* __restrict__ xT, int in_total,
                                  const float* __restrict__ b,
                                  int out_total, int groups, bool act,
                                  int64_t n, float* __restrict__ yT) {
+  // Input channels unrolled by 4: one y-row load/store pass covers four
+  // inputs (the plain axpy form was store-bound at ~4.6 GMAC/s; this form
+  // measured ~3x that). Each y element still accumulates in a FIXED
+  // (i ascending, left-to-right within the 4-term sum) order — determinism
+  // of the coding arithmetic is per-binary and checked against
+  // ``ztsep_ctx_fingerprint`` at decode time.
   const int in_g = in_total / groups;
   const int out_g = out_total / groups;
   for (int o = 0; o < out_total; ++o) {
@@ -62,7 +68,56 @@ inline void grouped_gemm_lrelu_T(const float* __restrict__ xT, int in_total,
     const float bias = b ? b[o] : 0.0f;
     for (int64_t p = 0; p < n; ++p) yrow[p] = bias;
     const float* xbase = xT + static_cast<int64_t>(g) * in_g * n;
-    for (int i = 0; i < in_g; ++i) {
+    int i = 0;
+    for (; i + 4 <= in_g; i += 4) {
+      const float w0 = wo[i], w1 = wo[i + 1], w2 = wo[i + 2], w3 = wo[i + 3];
+      const float* __restrict__ x0 = xbase + static_cast<int64_t>(i) * n;
+      const float* __restrict__ x1 = x0 + n;
+      const float* __restrict__ x2 = x1 + n;
+      const float* __restrict__ x3 = x2 + n;
+#pragma omp simd
+      for (int64_t p = 0; p < n; ++p)
+        yrow[p] += w0 * x0[p] + w1 * x1[p] + w2 * x2[p] + w3 * x3[p];
+    }
+    for (; i < in_g; ++i) {
+      const float wv = wo[i];
+      const float* __restrict__ xrow = xbase + static_cast<int64_t>(i) * n;
+#pragma omp simd
+      for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
+    }
+    if (act) {
+      for (int64_t p = 0; p < n; ++p)
+        yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
+    }
+  }
+}
+
+// Same, but accumulating ONTO an already-initialized yT (bias/base included
+// by the caller) with the LReLU applied afterwards.
+inline void grouped_gemm_acc_lrelu_T(const float* __restrict__ xT,
+                                     int in_total,
+                                     const float* __restrict__ w,
+                                     int out_total, int groups, bool act,
+                                     int64_t n, float* __restrict__ yT) {
+  const int in_g = in_total / groups;
+  const int out_g = out_total / groups;
+  for (int o = 0; o < out_total; ++o) {
+    const int g = o / out_g;
+    const float* wo = w + static_cast<int64_t>(o) * in_g;
+    float* yrow = yT + static_cast<int64_t>(o) * n;
+    const float* xbase = xT + static_cast<int64_t>(g) * in_g * n;
+    int i = 0;
+    for (; i + 4 <= in_g; i += 4) {
+      const float w0 = wo[i], w1 = wo[i + 1], w2 = wo[i + 2], w3 = wo[i + 3];
+      const float* __restrict__ x0 = xbase + static_cast<int64_t>(i) * n;
+      const float* __restrict__ x1 = x0 + n;
+      const float* __restrict__ x2 = x1 + n;
+      const float* __restrict__ x3 = x2 + n;
+#pragma omp simd
+      for (int64_t p = 0; p < n; ++p)
+        yrow[p] += w0 * x0[p] + w1 * x1[p] + w2 * x2[p] + w3 * x3[p];
+    }
+    for (; i < in_g; ++i) {
       const float wv = wo[i];
       const float* __restrict__ xrow = xbase + static_cast<int64_t>(i) * n;
 #pragma omp simd
@@ -94,17 +149,13 @@ struct LevelBufs {  // reused across diagonals to avoid re-allocation
   std::vector<float> fusedT, h1T, h2T, h3T, h4T;
 };
 
-// fusedT (already built, interleaved plc/csc blocks per group) -> idx/mu.
-inline void level_core(LevelBufs* bufs, int64_t n, int32_t so,
-                       const LevelParams& P, int32_t* idx_out,
-                       float* mu_out) {
-  const int fused_n = 2 * so * 81;
-  bufs->h1T.resize(static_cast<size_t>(P.out1) * n);
+// h1T (already built and activated) -> h2..h4 -> idx/mu.
+inline void level_tail_from_h1(LevelBufs* bufs, int64_t n, int32_t so,
+                               const LevelParams& P, int32_t* idx_out,
+                               float* mu_out) {
   bufs->h2T.resize(static_cast<size_t>(P.out2) * n);
   bufs->h3T.resize(static_cast<size_t>(P.out3) * n);
   bufs->h4T.resize(static_cast<size_t>(P.out4) * n);
-  grouped_gemm_lrelu_T(bufs->fusedT.data(), fused_n, P.w1, P.b1, P.out1, so,
-                       true, n, bufs->h1T.data());
   grouped_gemm_lrelu_T(bufs->h1T.data(), P.out1, P.w2, P.b2, P.out2, so,
                        true, n, bufs->h2T.data());
   grouped_gemm_lrelu_T(bufs->h2T.data(), P.out2, P.w3, P.b3, P.out3, so,
@@ -130,8 +181,91 @@ inline void level_core(LevelBufs* bufs, int64_t n, int32_t so,
   }
 }
 
+// fusedT (already built, interleaved plc/csc blocks per group) -> idx/mu.
+inline void level_core(LevelBufs* bufs, int64_t n, int32_t so,
+                       const LevelParams& P, int32_t* idx_out,
+                       float* mu_out) {
+  const int fused_n = 2 * so * 81;
+  bufs->h1T.resize(static_cast<size_t>(P.out1) * n);
+  grouped_gemm_lrelu_T(bufs->fusedT.data(), fused_n, P.w1, P.b1, P.out1, so,
+                       true, n, bufs->h1T.data());
+  level_tail_from_h1(bufs, n, so, P, idx_out, mu_out);
+}
+
 // csc taps: rows 0,1 full; row 2 cols 0,1 (mask-A over 5x5)
 constexpr int kCscTaps[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+
+// ---------------------------------------------------------------------------
+// Blocked planar 3x3 SAME conv for the whole-plane parent-context (plc)
+// pass. Planes are channel-planar with a padded row stride (ws + 2, ws =
+// round_up(w, 32)) so the 32-pixel tiles never need edge handling. Each
+// output element accumulates in a FIXED (tap-major, channel-ascending)
+// order with independent SIMD lanes along the pixel axis — vector width
+// never changes the result; FMA contraction is the only arch-dependent
+// freedom and is guarded by the runtime fingerprint below.
+//
+// wpack layout: (ceil(cout/4), 9, cin, 4) — the 4 outputs of a block are
+// interleaved innermost so one (tap, channel) step feeds 4 broadcasts.
+// out_off = 0 writes unpadded (h, ws) planes; out_off = 1 writes into
+// 1-padded (h+2, ws+2) planes at offset (1,1) so the result can feed the
+// next conv (the caller must re-zero the junk tail columns [w+1, ws+2)
+// when ws > w).
+inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
+                           int ws, const float* __restrict__ wpack,
+                           const float* __restrict__ bias, int cout_p4,
+                           bool act, float* __restrict__ out, int out_off) {
+  const int pstr = ws + 2;
+  constexpr int TP = 32;
+  const int64_t in_plane = static_cast<int64_t>(h + 2) * pstr;
+  const int out_str = out_off ? pstr : ws;
+  const int64_t out_plane =
+      static_cast<int64_t>(h + 2 * out_off) * out_str;
+  for (int ob = 0; ob < cout_p4 / 4; ++ob) {
+    const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 4;
+    const float b0 = bias[ob * 4 + 0], b1 = bias[ob * 4 + 1];
+    const float b2 = bias[ob * 4 + 2], b3 = bias[ob * 4 + 3];
+    for (int r = 0; r < h; ++r) {
+      for (int p0 = 0; p0 < ws; p0 += TP) {
+        float a0[TP], a1[TP], a2[TP], a3[TP];
+        for (int t = 0; t < TP; ++t) {
+          a0[t] = b0; a1[t] = b1; a2[t] = b2; a3[t] = b3;
+        }
+        for (int t = 0; t < 9; ++t) {
+          const float* inb =
+              in + static_cast<int64_t>(r + t / 3) * pstr + p0 + t % 3;
+          const float* wt = wb + static_cast<int64_t>(t) * cin * 4;
+          for (int c = 0; c < cin; ++c) {
+            const float* __restrict__ x = inb + c * in_plane;
+            const float w0 = wt[c * 4 + 0], w1 = wt[c * 4 + 1];
+            const float w2 = wt[c * 4 + 2], w3 = wt[c * 4 + 3];
+#pragma omp simd
+            for (int q = 0; q < TP; ++q) {
+              const float xv = x[q];
+              a0[q] += w0 * xv; a1[q] += w1 * xv;
+              a2[q] += w2 * xv; a3[q] += w3 * xv;
+            }
+          }
+        }
+        float* ob0 = out + static_cast<int64_t>(ob * 4) * out_plane
+                     + static_cast<int64_t>(r + out_off) * out_str + p0
+                     + out_off;
+        float* rows[4] = {ob0, ob0 + out_plane, ob0 + 2 * out_plane,
+                          ob0 + 3 * out_plane};
+        const float* accs[4] = {a0, a1, a2, a3};
+        for (int o = 0; o < 4; ++o) {
+          const float* a = accs[o];
+          float* y = rows[o];
+          if (act) {
+            for (int q = 0; q < TP; ++q)
+              y[q] = a[q] < 0.0f ? a[q] * kLReLU : a[q];
+          } else {
+            for (int q = 0; q < TP; ++q) y[q] = a[q];
+          }
+        }
+      }
+    }
+  }
+}
 
 // Build fusedT for one diagonal reading csc taps via `tap(p, pos)` and
 // plc rows via `plcrow(p)`; group g rows [g*162, g*162+81) = plc_g,
@@ -195,6 +329,114 @@ void ztsep_level_centers(
       },
       [&](int64_t p) { return plc + p * static_cast<int64_t>(so) * 81; });
   level_core(&bufs, n, so, P, idx_out, mu_out);
+}
+
+// Whole-plane parent-context (plc) pass on the HOST: nearest x2 upsample of
+// the decoded parent + dense 3x3 conv (LReLU) + dense 3x3 conv — the
+// reference's plc CNN (LiftingBasedDWT_net.py:271-272,348) evaluated with
+// deterministic, backend-free arithmetic. Replaces the accelerator pass
+// that (a) pinned bitstreams to the encoding backend's bf16 accumulation
+// order and (b) on tunneled TPUs read back a (h, w, 81*so) float plane
+// (~95 MB at the finest Kodak level) per level per direction.
+//   parent: (h2, w2, so) HWC;  out: (h, w, wide) HWC, h=2*h2, w=2*w2.
+//   w1pack: (ceil(wide/4), 9, so, 4); w2pack: (ceil(wide/4), 9, wide, 4)
+//   (biases zero-padded to the same rounded widths).
+void ztsep_plc_plane(
+    const float* parent, int32_t h2, int32_t w2, int32_t so,
+    const float* w1pack, const float* b1, int32_t wide,
+    const float* w2pack, const float* b2,
+    float* out) {
+  const int h = 2 * h2, w = 2 * w2;
+  const int ws = (w + 31) & ~31;
+  const int pstr = ws + 2;
+  const int wide_p4 = (wide + 3) & ~3;
+  const int64_t plane_pad = static_cast<int64_t>(h + 2) * pstr;
+
+  // upsampled input, planar padded
+  std::vector<float> xpad(static_cast<size_t>(so) * plane_pad, 0.0f);
+  for (int c = 0; c < so; ++c) {
+    float* xc = xpad.data() + c * plane_pad;
+    for (int r = 0; r < h; ++r) {
+      const float* prow = parent + static_cast<int64_t>(r >> 1) * w2 * so;
+      float* xr = xc + static_cast<int64_t>(r + 1) * pstr + 1;
+      for (int p = 0; p < w; ++p) xr[p] = prow[(p >> 1) * so + c];
+    }
+  }
+
+  // conv1 -> padded planar (junk tail columns re-zeroed), LReLU
+  std::vector<float> a1(static_cast<size_t>(wide_p4) * plane_pad, 0.0f);
+  conv3x3_planar(xpad.data(), so, h, ws, w1pack, b1, wide_p4, true,
+                 a1.data(), 1);
+  if (ws > w) {
+    for (int c = 0; c < wide_p4; ++c) {
+      float* ac = a1.data() + c * plane_pad;
+      for (int r = 1; r <= h; ++r) {
+        float* row = ac + static_cast<int64_t>(r) * pstr;
+        for (int p = w + 1; p < pstr; ++p) row[p] = 0.0f;
+      }
+    }
+  }
+
+  // conv2 -> unpadded planar, then planar -> HWC
+  std::vector<float> a2(static_cast<size_t>(wide_p4) * h * ws);
+  conv3x3_planar(a1.data(), wide, h, ws, w2pack, b2, wide_p4, false,
+                 a2.data(), 0);
+  const int64_t oplane = static_cast<int64_t>(h) * ws;
+  for (int r = 0; r < h; ++r) {
+    for (int o = 0; o < wide; ++o) {
+      const float* src = a2.data() + o * oplane
+                         + static_cast<int64_t>(r) * ws;
+      float* dst = out + (static_cast<int64_t>(r) * w) * wide + o;
+      for (int p = 0; p < w; ++p) dst[static_cast<int64_t>(p) * wide] =
+          src[p];
+    }
+  }
+}
+
+// Runtime arithmetic fingerprint: run the coding kernels on a fixed
+// pseudorandom workload and FNV-hash the output bits. Two builds/machines
+// that produce the same fingerprint produce bit-identical streams; the
+// decoder compares fingerprints (PlaneStreams.meta["ctx_fp"]) and refuses
+// mismatches loudly instead of corrupting planes silently.
+uint64_t ztsep_ctx_fingerprint() {
+  uint32_t s = 0x12345u;
+  auto next = [&s]() {
+    s = s * 1664525u + 1013904223u;
+    // ~U(-1, 1), 2^-31 grid
+    return (static_cast<int32_t>(s) >> 8) * (1.0f / 8388608.0f);
+  };
+  const int so = 3, h2 = 4, w2 = 8, wide = 12;
+  std::vector<float> parent(h2 * w2 * so), w1((wide + 3) / 4 * 4 * 9 * so),
+      b1((wide + 3) & ~3), w2p((wide + 3) / 4 * 4 * 9 * wide),
+      b2((wide + 3) & ~3), out(2 * h2 * 2 * w2 * wide);
+  for (auto* v : {&parent, &w1, &b1, &w2p, &b2})
+    for (auto& x : *v) x = next();
+  ztsep_plc_plane(parent.data(), h2, w2, so, w1.data(), b1.data(), wide,
+                  w2p.data(), b2.data(), out.data());
+
+  const int in_t = 12, out_t = 24, groups = 3;
+  std::vector<float> xT(in_t * 16), wg(out_t * (in_t / groups)), bg(out_t),
+      yT(out_t * 16), y2T(out_t * 16);
+  for (auto* v : {&xT, &wg, &bg})
+    for (auto& x : *v) x = next();
+  grouped_gemm_lrelu_T(xT.data(), in_t, wg.data(), bg.data(), out_t, groups,
+                       true, 16, yT.data());
+  for (size_t i = 0; i < y2T.size(); ++i) y2T[i] = bg[i / 16];
+  grouped_gemm_acc_lrelu_T(xT.data(), in_t, wg.data(), out_t, groups, true,
+                           16, y2T.data());
+
+  uint64_t fp = 1469598103934665603ull;  // FNV-1a 64
+  auto mix = [&fp](const std::vector<float>& v) {
+    const unsigned char* b = reinterpret_cast<const unsigned char*>(v.data());
+    for (size_t i = 0; i < v.size() * 4; ++i) {
+      fp ^= b[i];
+      fp *= 1099511628211ull;
+    }
+  };
+  mix(out);
+  mix(yT);
+  mix(y2T);
+  return fp;
 }
 
 }  // extern "C"
@@ -368,7 +610,27 @@ void ztsep_level_walk(
   ranscore::RansDecState dec;
   if (mode == 1) dec.init(stream, nbytes);
 
+  // Split cgp layer 1 around the fused [plc_g; csc_g] input blocks:
+  // h1 = lrelu(W1p·plc + W1c·csc + b1). The plc half is evaluated straight
+  // from the precomputed plc rows (one GEMV per center) instead of
+  // materializing fusedT; W1pT is transposed (group, i, out_g) so the
+  // per-center accumulation vectorizes over the 162 outputs with a fixed
+  // i-ascending order.
+  const int out_g1 = out1 / so;
+  std::vector<float> W1pT(static_cast<size_t>(so) * 81 * out_g1);
+  std::vector<float> W1c(static_cast<size_t>(out1) * 81);
+  for (int o = 0; o < out1; ++o) {
+    const int g = o / out_g1;
+    for (int i = 0; i < 81; ++i) {
+      W1pT[(static_cast<size_t>(g) * 81 + i) * out_g1 + (o - g * out_g1)] =
+          w1[static_cast<int64_t>(o) * 162 + i];
+      W1c[static_cast<size_t>(o) * 81 + i] =
+          w1[static_cast<int64_t>(o) * 162 + 81 + i];
+    }
+  }
+
   LevelBufs bufs;
+  std::vector<float> cscT, acc1(out1);
   std::vector<int32_t> idx_buf;
   std::vector<float> mu_buf;
   std::vector<int32_t> rr_buf, cc_buf;
@@ -389,19 +651,51 @@ void ztsep_level_walk(
     }
     idx_buf.resize(n * so);
     mu_buf.resize(n * so);
-    // patch top-left at the unpadded coordinate: tap pos (pr,pc) of the
-    // center (r,c) reads padded[r+pr][c+pc] (pad=2 -> center at +2,+2)
-    level_build_fusedT(
-        &bufs, n, so, P,
-        [&](int64_t p, int pos, int g) {
-          const int64_t r = rr_buf[p] + pos / 5, c = cc_buf[p] + pos % 5;
-          return padded[(r * wpad + c) * so + g];
-        },
-        [&](int64_t p) {
-          return plc + (static_cast<int64_t>(rr_buf[p]) * w + cc_buf[p])
-                     * wide;
-        });
-    level_core(&bufs, n, so, P, idx_buf.data(), mu_buf.data());
+
+    // csc: masked 5x5 taps straight off the padded plane, transposed
+    // (patch top-left at the unpadded coordinate; pad=2 -> center +2,+2)
+    cscT.resize(static_cast<size_t>(wide) * n);
+    for (int64_t p = 0; p < n; ++p) {
+      const int64_t r0 = rr_buf[p], c0 = cc_buf[p];
+      for (int o = 0; o < wide; ++o) {
+        const int g = o / 81;
+        const float* wo = P.csc_w + static_cast<int64_t>(o) * 25;
+        float acc = P.csc_b[o];
+        for (int m = 0; m < 12; ++m) {
+          const int pos = kCscTaps[m];
+          acc += padded[((r0 + pos / 5) * wpad + c0 + pos % 5) * so + g]
+                 * wo[pos];
+        }
+        cscT[static_cast<size_t>(o) * n + p] = acc;
+      }
+    }
+    // h1 = b1 + W1p·plc (per-center GEMV), scattered into h1T columns
+    bufs.h1T.resize(static_cast<size_t>(out1) * n);
+    for (int64_t p = 0; p < n; ++p) {
+      const float* plc_p =
+          plc + (static_cast<int64_t>(rr_buf[p]) * w + cc_buf[p]) * wide;
+      for (int o = 0; o < out1; ++o) acc1[o] = P.b1[o];
+      for (int g = 0; g < so; ++g) {
+        float* ag = acc1.data() + static_cast<size_t>(g) * out_g1;
+        const float* wg = W1pT.data()
+                          + static_cast<size_t>(g) * 81 * out_g1;
+        for (int i = 0; i < 81; ++i) {
+          const float v = plc_p[g * 81 + i];
+          const float* __restrict__ wrow = wg + static_cast<size_t>(i)
+                                           * out_g1;
+#pragma omp simd
+          for (int o = 0; o < out_g1; ++o) ag[o] += wrow[o] * v;
+        }
+      }
+      float* h1 = bufs.h1T.data();
+      for (int o = 0; o < out1; ++o)
+        h1[static_cast<size_t>(o) * n + p] = acc1[o];
+    }
+    // += W1c·csc, LReLU, then the shared cgp tail
+    grouped_gemm_acc_lrelu_T(cscT.data(), static_cast<int>(wide),
+                             W1c.data(), out1, so, true, n,
+                             bufs.h1T.data());
+    level_tail_from_h1(&bufs, n, so, P, idx_buf.data(), mu_buf.data());
 
     for (int64_t p = 0; p < n; ++p) {
       const int64_t r = rr_buf[p], c = cc_buf[p];

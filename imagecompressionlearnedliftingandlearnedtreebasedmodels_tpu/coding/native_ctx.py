@@ -34,10 +34,13 @@ def get_lib() -> ctypes.CDLL:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
                                                 os.path.getmtime(_HDR))):
-            # -ffast-math lets gcc vectorize the FMA reduction loops
-            # (8-16x here); deterministic for a given binary, and encoder/
-            # decoder consistency is guarded by PlaneStreams.meta tagging
-            cmd = ["g++", "-O3", "-march=native", "-ffast-math",
+            # No -ffast-math: the kernels vectorize over independent lanes
+            # (pixels/outputs) with fixed per-element accumulation order, so
+            # IEEE mode costs little and removes the reassociation freedom
+            # that would make streams binary-specific. The remaining
+            # arch-level freedom (FMA contraction under -march=native) is
+            # captured by ctx_fingerprint() and checked at decode.
+            cmd = ["g++", "-O3", "-march=native",
                    "-funroll-loops", "-shared", "-fPIC",
                    "-std=c++17", "-fopenmp", "-o", _LIB, _SRC]
             try:
@@ -52,6 +55,83 @@ def get_lib() -> ctypes.CDLL:
 
 def _fp(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+_ctx_fp_cache = None
+
+
+def ctx_fingerprint() -> str:
+    """Arithmetic fingerprint of this build of the context evaluator.
+
+    Hash of the kernels' output bits on a fixed pseudorandom workload: two
+    machines/builds with equal fingerprints produce bit-identical context
+    parameters and therefore bit-compatible streams. Recorded in
+    ``PlaneStreams.meta['ctx_fp']`` by the encoder and verified by the
+    decoder — replaces the round-2 ``plc_backend`` pinning (the plc pass no
+    longer touches any accelerator backend at all).
+    """
+    global _ctx_fp_cache
+    if _ctx_fp_cache is None:
+        lib = get_lib()
+        lib.ztsep_ctx_fingerprint.restype = ctypes.c_uint64
+        _ctx_fp_cache = f"{lib.ztsep_ctx_fingerprint():016x}"
+    return _ctx_fp_cache
+
+
+def _pack_conv3x3(kernel: np.ndarray) -> np.ndarray:
+    """flax (3,3,cin,cout) -> blocked (ceil(cout/4), 9, cin, 4)."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3)
+    cp = (cout + 3) & ~3
+    k = np.zeros((9, cin, cp), np.float32)
+    k[:, :, :cout] = np.asarray(kernel, np.float32).reshape(9, cin, cout)
+    # (9, cin, cp) -> (cp/4, 9, cin, 4)
+    return np.ascontiguousarray(
+        k.reshape(9, cin, cp // 4, 4).transpose(2, 0, 1, 3))
+
+
+def _pad_bias(bias: np.ndarray) -> np.ndarray:
+    b = np.asarray(bias, np.float32)
+    cp = (b.shape[0] + 3) & ~3
+    out = np.zeros(cp, np.float32)
+    out[:b.shape[0]] = b
+    return out
+
+
+class PLCPlaneEvaluator:
+    """Native whole-plane parent-context pass for one (plane, level):
+    upsample2 + conv3x3(LReLU) + conv3x3, deterministic host arithmetic
+    (reference plc CNN, ``LiftingBasedDWT_net.py:271-272,348``). Replaces
+    the accelerator pass — no backend pinning, no tunneled readback of the
+    (h, w, 81*so) feature plane."""
+
+    def __init__(self, plane_params: Dict, level: int, so: int):
+        em = plane_params["entropymodel"]
+        plc = em[f"plc_{level}"]
+        k0 = np.asarray(plc["Conv_0"]["kernel"], np.float32)
+        k1 = np.asarray(plc["Conv_1"]["kernel"], np.float32)
+        assert k0.shape[2] == so and k1.shape[3] == so * 81
+        self.so = so
+        self.wide = so * 81
+        self.w1 = _pack_conv3x3(k0)
+        self.b1 = _pad_bias(plc["Conv_0"]["bias"])
+        self.w2 = _pack_conv3x3(k1)
+        self.b2 = _pad_bias(plc["Conv_1"]["bias"])
+
+    def __call__(self, parent: np.ndarray) -> np.ndarray:
+        """parent (1, h2, w2, so) -> plc (1, 2*h2, 2*w2, so*81) float32."""
+        lib = get_lib()
+        parent = np.ascontiguousarray(np.asarray(parent)[0], np.float32)
+        h2, w2, so = parent.shape
+        assert so == self.so
+        out = np.empty((1, 2 * h2, 2 * w2, self.wide), np.float32)
+        lib.ztsep_plc_plane(
+            _fp(parent), ctypes.c_int32(h2), ctypes.c_int32(w2),
+            ctypes.c_int32(so),
+            _fp(self.w1), _fp(self.b1), ctypes.c_int32(self.wide),
+            _fp(self.w2), _fp(self.b2),
+            _fp(out))
+        return out
 
 
 class LevelContextEvaluator:

@@ -87,14 +87,11 @@ class Config:
     val_patch_size: int = 256
     test_patch_size: int = 0        # 0 = full resolution (image_dl.py:77-78)
     learning_rate: float = 1e-4
-    gamma: float = 1.0
     lambda_: Union[float, List[float]] = 0.01
     loss_switch_thr: float = 0.0015
     training_loss_switch: int = 1   # 0 = start with D-only loss, switch later
     max_epoch: int = 3000
-    log_interval: int = 20
     validate_every: int = 1
-    test_every: int = 1
     checkpoint_file: str = "checkpoint"
     steps_per_epoch: int = 0        # 0 = full pass over the dataset
     save_every_epochs: int = 0      # >0: rolling checkpoint every N epochs
@@ -170,8 +167,13 @@ _ALIASES = {
     "autoencoderFlag": "autoencoder",
     "lambda": "lambda_",
 }
-# Reference keys we accept but do not use (hardware/legacy).
-_IGNORED = {"cuda", "gpu_device", "async_loading", "pin_memory", "data_mode"}
+# Reference keys we accept but do not use: hardware/loader knobs that have
+# no analog here, plus template leftovers that are dead in the reference
+# too — "gamma"/"log_interval" are never read by any reference code path
+# and "test_every" only appears in commented-out lines
+# (reference agents/base.py:166,180).
+_IGNORED = {"cuda", "gpu_device", "async_loading", "pin_memory", "data_mode",
+            "gamma", "log_interval", "test_every"}
 
 
 def config_from_dict(raw: dict) -> Config:

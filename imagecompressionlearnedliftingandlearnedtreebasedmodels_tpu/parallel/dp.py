@@ -116,6 +116,72 @@ def make_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
     return dp_step, shard_state
 
 
+def make_chained_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
+                                     axis: str = "data"):
+    """``k = cfg.steps_per_call`` optimizer steps per dispatch ON THE MESH.
+
+    The single-chip chunked scan (``train/state.py::make_chained_train_step``)
+    killed the ~25-40 ms per-dispatch RTT of tunneled backends (5 -> 26.6
+    steps/s measured); this is the same ``lax.scan`` inside the shard_map
+    body so multi-chip training gets the identical amortization: batches
+    arrive as ``(k, B, ...)`` (uint8 ok) sharded over the batch axis, grads
+    are ``pmean``'d per scanned step, and ONE ``(k, 4)`` metrics array comes
+    back per chunk. Step-for-step equivalent to k sequential
+    :func:`make_shardmap_train_step` calls with the same per-step rngs
+    (verified in ``tests/test_parallel.py``).
+    """
+    loss_scale = 1.0 / max(cfg.grad_acc_iters, 1)
+    repl = NamedSharding(mesh, P())
+
+    def per_device_chunk(state: TrainState, batches, rngs, lr, rate_weight,
+                         lam):
+        ai = jax.lax.axis_index(axis)
+
+        def body(st, xs):
+            batch, rng = xs
+            if batch.dtype == jnp.uint8:
+                batch = batch.astype(jnp.float32) / 255.0
+            rng = jax.random.fold_in(rng, ai)
+
+            def loss_fn(params):
+                xsh, xhat, info_xe, info_xo, aux = apply_color_forward(
+                    cfg, model, params, batch, True, rng)
+                out = rd_loss3(xsh, xhat, info_xe, info_xo, lam, rate_weight)
+                return (out.loss + aux) * loss_scale, out
+
+            grads, out = jax.grad(loss_fn, has_aux=True)(st.params)
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(
+                jnp.stack([out.loss, out.mse, out.rate1, out.rate2]), axis)
+            opt_state = st.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = tx.update(grads, opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    sharded = jax.shard_map(
+        per_device_chunk, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def jitted(state, batches, rngs, lr, rate_weight, lam):
+        return sharded(state, batches, jnp.asarray(rngs), jnp.asarray(lr),
+                       jnp.asarray(rate_weight), lam)
+
+    def chained_step(state, batches, rngs, lr, rate_weight, lam=None):
+        if lam is None:
+            lam = cfg.lambda_
+        return jitted(state, batches, rngs, lr, rate_weight,
+                      jnp.asarray(lam, jnp.float32))
+
+    chained_step.replicated_sharding = repl
+    return chained_step
+
+
 def make_dp_eval_step(cfg: Config, model, mesh: Mesh, axis: str = "data"):
     """Evaluation over the mesh: batch sharded over ``data`` when its size
     divides the mesh, replicated otherwise (the reference validates/tests at

@@ -48,6 +48,9 @@ class LiftingDWTAgent:
             self.train_step, self._shard_state = dp.make_shardmap_train_step(
                 cfg, self.model, self.tx, self.mesh)
             self.eval_step = dp.make_dp_eval_step(cfg, self.model, self.mesh)
+            if cfg.steps_per_call > 1:
+                self.chained_step = dp.make_chained_shardmap_train_step(
+                    cfg, self.model, self.tx, self.mesh)
         else:
             self.train_step = make_train_step(cfg, self.model, self.tx)
             self.eval_step = make_eval_step(cfg, self.model)
@@ -175,7 +178,7 @@ class LiftingDWTAgent:
         with the epoch length. Misaligned configs fall back to per-step
         dispatch rather than changing semantics."""
         k = self.cfg.steps_per_call
-        if k <= 1 or self.mesh is not None:
+        if k <= 1:
             return 1
         if steps % k or self.cfg.loss_prnt_iters % k:
             self.logger.warning(
@@ -244,9 +247,40 @@ class LiftingDWTAgent:
         if cfg.phase_timers:
             self.logger.info("phase timers:\n" + self.timers.report())
 
+    def _save_wavelet_pyramid(self, batch) -> None:
+        """``imshow_validation``: save the nested wavelet-pyramid montage of
+        the first validation image (reference ``show_wavelet_coeff``,
+        ``lifting_dwt_nets.py:393-410``, drawn when ``imshow_validation``)."""
+        from ..models.codec import LiftingDWTCodec
+        from ..ops import color as color_ops
+        from ..utils.image_plots import wavelet_pyramid
+
+        if not hasattr(self, "_imshow_enc"):
+            codec = LiftingDWTCodec(self.cfg)
+            self._imshow_enc = jax.jit(lambda p, x: codec.apply(
+                {"params": p}, x,
+                method=lambda m, v: m.transform.encode(v)))
+        if self.cfg.clrch == 3:
+            tree = self.state.params["codec"]
+            x = jnp.asarray(batch) - 0.5
+        else:  # per-channel models: draw the Y plane's pyramid
+            y = color_ops.shift_ycbcr(
+                color_ops.rgb_to_ycbcr(jnp.asarray(batch)))
+            tree, x = self.state.params["codecs_0"], y[..., :1]
+        xe, xo_list = self._imshow_enc(tree, x)
+        out = os.path.join(self.cfg.out_dir or self.cfg.log_dir or ".",
+                           f"wavelet_pyramid_it{self.current_iteration}.png")
+        wavelet_pyramid(np.asarray(xe), [np.asarray(t) for t in xo_list],
+                        out_path=out)
+        self.logger.info(f"wavelet pyramid montage -> {out}")
+
     def validate(self) -> float:
         psnrs, r1s, r2s = [], [], []
+        shown = not self.cfg.imshow_validation
         for batch in self.data.valid_batches():
+            if not shown:
+                self._save_wavelet_pyramid(batch)
+                shown = True
             out = self.eval_step(self.state.params, jnp.asarray(batch))
             self.heartbeat.beat()
             self.valid_logger(float(out.loss), float(out.mse),

@@ -152,6 +152,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "(default max(timeout, 1800))")
     ap.add_argument("--max-restarts", type=int, default=10)
     ap.add_argument("--poll", type=float, default=5.0)
+    ap.add_argument("--pidfile", type=str, default=None,
+                    help="write the supervisor's pid here (convention: "
+                         "/tmp/rd_sweep*.pid — bench.py stops such runs "
+                         "before measuring, verifying /proc cmdline first)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to supervise")
     args = ap.parse_args(argv)
@@ -160,8 +164,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         cmd = cmd[1:]
     if not cmd:
         ap.error("no command given (use: supervisor [opts] -- cmd ...)")
-    return supervise(cmd, timeout=args.timeout, grace=args.grace,
-                     max_restarts=args.max_restarts, poll=args.poll)
+    if args.pidfile:
+        with open(args.pidfile, "w") as fh:
+            fh.write(str(os.getpid()))
+    try:
+        return supervise(cmd, timeout=args.timeout, grace=args.grace,
+                         max_restarts=args.max_restarts, poll=args.poll)
+    finally:
+        if args.pidfile:
+            try:
+                os.remove(args.pidfile)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

@@ -22,8 +22,20 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot i
 
 
 def main():
+    import glob
+    import tempfile
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "results", "rd_flagship.json")
+    for pidfile in glob.glob("/tmp/rd_sweep*.pid"):
+        try:
+            pid = int(open(pidfile).read().strip())
+            os.kill(pid, 0)
+            print(f"WARNING: a sweep appears to be running (pid {pid}, "
+                  f"{pidfile}) — it may rewrite {path} after this merge",
+                  file=sys.stderr)
+        except (OSError, ValueError):
+            pass
     cur = json.load(open(path))
     snap = json.load(open(sys.argv[1]))
 
@@ -46,7 +58,14 @@ def main():
             [p[0] for p in cpts], [p[1] for p in cpts],
             [p[0] for p in pts], [p[1] for p in pts])
 
-    json.dump(cur, open(path, "w"), indent=1)
+    # the top-level "steps" summary (the sweep's --steps target) is
+    # meaningless after merging points from different runs
+    cur.pop("steps", None)
+    # atomic replace: a reader (or a crashed merge) never sees a torn file
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".json")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(cur, fh, indent=1)
+    os.replace(tmp, path)
     for lam, v in sorted(cur["points"].items(), key=lambda kv: float(kv[0])):
         print(f"lambda={lam}: {v['bpp']:.4f} bpp @ {v['psnr']:.2f} dB "
               f"({v['iterations']} it)")

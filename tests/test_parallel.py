@@ -105,6 +105,52 @@ def test_shardmap_dp_matches_single_device_oracle():
                                    atol=1e-6, rtol=1e-5)
 
 
+def test_chained_shardmap_matches_sequential_steps():
+    """k scanned steps inside shard_map == k sequential shard_map steps
+    (VERDICT r2 item 6: chunked training on the mesh path)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import Config
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.models.codec import (
+        CodecWrapper)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.parallel import (
+        dp, mesh as mesh_lib)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+        init_state, make_optimizer)
+
+    n, k = 8, 3
+    cfg = Config(netType="CDF97", entropy_layer="factorized", clrch=3,
+                 dwtlevels=2, lambda_=100.0, batch_size=n, steps_per_call=k)
+    model = CodecWrapper(cfg)
+    batches = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (k, n, 32, 32, 3)))
+    # uint8 chunk form (what the data loader ships for chunked dispatch)
+    batches_u8 = (batches * 255).astype(np.uint8)
+    batches = batches_u8.astype(np.float32) / 255.0
+    state = init_state(cfg, model, batches[0], jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    rngs = jax.random.split(jax.random.PRNGKey(2), k)
+    lr, rate_w = jnp.asarray(1e-4), jnp.asarray(1.0)
+
+    mesh = mesh_lib.make_mesh(n)
+    step, shard_state = dp.make_shardmap_train_step(cfg, model, tx, mesh)
+    seq_state = shard_state(state)
+    seq_metrics = []
+    for i in range(k):
+        seq_state, out, _ = step(seq_state, jnp.asarray(batches[i]),
+                                 rngs[i], lr, rate_w)
+        seq_metrics.append([float(out.loss), float(out.mse),
+                            float(out.rate1), float(out.rate2)])
+
+    chained = dp.make_chained_shardmap_train_step(cfg, model, tx, mesh)
+    ch_state, ms = chained(shard_state(state), jnp.asarray(batches_u8),
+                           rngs, lr, rate_w)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(seq_metrics),
+                               rtol=2e-5, atol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(ch_state.params),
+                    jax.tree_util.tree_leaves(seq_state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_agent_trains_on_mesh_from_config(tmp_path):
     """Agent-level DP: mesh_shape in the config builds the mesh and the
     shard_map step; a couple of epochs on synthetic data must run and

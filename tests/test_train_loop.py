@@ -129,6 +129,23 @@ def test_agent_train_validate_checkpoint(tmp_path):
     agent3 = LiftingDWTAgent(cfg3)
     assert agent3.current_iteration > 0
 
+def test_imshow_validation_saves_wavelet_pyramid(tmp_path):
+    """imshow_validation draws the nested wavelet-pyramid montage during
+    validate() (reference show_wavelet_coeff, lifting_dwt_nets.py:393-410)."""
+    cfg = _tiny_cfg(imshow_validation=True, val_patch_size=32)
+    cfg.out_dir = str(tmp_path / "out")
+    cfg.log_dir = str(tmp_path / "logs")
+    for d in (cfg.out_dir, cfg.log_dir):
+        os.makedirs(d, exist_ok=True)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
+        LiftingDWTAgent)
+    agent = LiftingDWTAgent(cfg)
+    agent.validate()
+    pngs = [f for f in os.listdir(cfg.out_dir)
+            if f.startswith("wavelet_pyramid") and f.endswith(".png")]
+    assert pngs, "imshow_validation produced no pyramid montage"
+
+
 def test_agent_test_mode_tiles_highres(tmp_path):
     """cfg.tile_size routes large test images through per-tile bitstreams
     (TiledCodecCoder); small images keep the whole-image coder."""

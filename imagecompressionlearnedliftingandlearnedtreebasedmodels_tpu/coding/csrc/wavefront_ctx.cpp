@@ -216,15 +216,20 @@ inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
                            bool act, float* __restrict__ out, int out_off) {
   const int pstr = ws + 2;
   constexpr int TP = 32;
+  static_assert(TP == 32, "tile width is the planar padding quantum");
   const int64_t in_plane = static_cast<int64_t>(h + 2) * pstr;
   const int out_str = out_off ? pstr : ws;
   const int64_t out_plane =
       static_cast<int64_t>(h + 2 * out_off) * out_str;
-  for (int ob = 0; ob < cout_p4 / 4; ++ob) {
-    const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 4;
-    const float b0 = bias[ob * 4 + 0], b1 = bias[ob * 4 + 1];
-    const float b2 = bias[ob * 4 + 2], b3 = bias[ob * 4 + 3];
-    for (int r = 0; r < h; ++r) {
+  // Row-major over output rows, out-blocks inner: the 3-row input strip a
+  // row touches (~750 KB at 243 channels) stays L2-resident across all
+  // out-blocks instead of restreaming the whole input plane per block
+  // (measured 30.8 -> 66 GFLOP/s on the 243-wide finest-level conv).
+  for (int r = 0; r < h; ++r) {
+    for (int ob = 0; ob < cout_p4 / 4; ++ob) {
+      const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 4;
+      const float b0 = bias[ob * 4 + 0], b1 = bias[ob * 4 + 1];
+      const float b2 = bias[ob * 4 + 2], b3 = bias[ob * 4 + 3];
       for (int p0 = 0; p0 < ws; p0 += TP) {
         float a0[TP], a1[TP], a2[TP], a3[TP];
         for (int t = 0; t < TP; ++t) {
@@ -391,52 +396,6 @@ void ztsep_plc_plane(
           src[p];
     }
   }
-}
-
-// Runtime arithmetic fingerprint: run the coding kernels on a fixed
-// pseudorandom workload and FNV-hash the output bits. Two builds/machines
-// that produce the same fingerprint produce bit-identical streams; the
-// decoder compares fingerprints (PlaneStreams.meta["ctx_fp"]) and refuses
-// mismatches loudly instead of corrupting planes silently.
-uint64_t ztsep_ctx_fingerprint() {
-  uint32_t s = 0x12345u;
-  auto next = [&s]() {
-    s = s * 1664525u + 1013904223u;
-    // ~U(-1, 1), 2^-31 grid
-    return (static_cast<int32_t>(s) >> 8) * (1.0f / 8388608.0f);
-  };
-  const int so = 3, h2 = 4, w2 = 8, wide = 12;
-  std::vector<float> parent(h2 * w2 * so), w1((wide + 3) / 4 * 4 * 9 * so),
-      b1((wide + 3) & ~3), w2p((wide + 3) / 4 * 4 * 9 * wide),
-      b2((wide + 3) & ~3), out(2 * h2 * 2 * w2 * wide);
-  for (auto* v : {&parent, &w1, &b1, &w2p, &b2})
-    for (auto& x : *v) x = next();
-  ztsep_plc_plane(parent.data(), h2, w2, so, w1.data(), b1.data(), wide,
-                  w2p.data(), b2.data(), out.data());
-
-  const int in_t = 12, out_t = 24, groups = 3;
-  std::vector<float> xT(in_t * 16), wg(out_t * (in_t / groups)), bg(out_t),
-      yT(out_t * 16), y2T(out_t * 16);
-  for (auto* v : {&xT, &wg, &bg})
-    for (auto& x : *v) x = next();
-  grouped_gemm_lrelu_T(xT.data(), in_t, wg.data(), bg.data(), out_t, groups,
-                       true, 16, yT.data());
-  for (size_t i = 0; i < y2T.size(); ++i) y2T[i] = bg[i / 16];
-  grouped_gemm_acc_lrelu_T(xT.data(), in_t, wg.data(), out_t, groups, true,
-                           16, y2T.data());
-
-  uint64_t fp = 1469598103934665603ull;  // FNV-1a 64
-  auto mix = [&fp](const std::vector<float>& v) {
-    const unsigned char* b = reinterpret_cast<const unsigned char*>(v.data());
-    for (size_t i = 0; i < v.size() * 4; ++i) {
-      fp ^= b[i];
-      fp *= 1099511628211ull;
-    }
-  };
-  mix(out);
-  mix(yT);
-  mix(y2T);
-  return fp;
 }
 
 }  // extern "C"
@@ -721,6 +680,137 @@ void ztsep_level_walk(
       }
     }
   }
+}
+
+// Runtime arithmetic fingerprint: run EVERY coding-path kernel on a fixed
+// pseudorandom workload and FNV-hash the output bits. Two builds/machines
+// with equal fingerprints produce bit-identical context parameters and
+// therefore bit-compatible streams; the decoder compares fingerprints
+// (PlaneStreams.meta["ctx_fp"]) and refuses mismatches loudly instead of
+// corrupting planes silently. The free variables this captures: FMA
+// contraction and `omp simd reduction` reassociation under -march=native
+// (vector-width-dependent), both exercised below via the plc plane pass,
+// the grouped gemms, the per-center level evaluator, and the incremental
+// PixelCNN step.
+uint64_t ztsep_ctx_fingerprint() {
+  uint32_t s = 0x12345u;
+  auto next = [&s]() {
+    s = s * 1664525u + 1013904223u;
+    // ~U(-1, 1), 2^-31 grid
+    return (static_cast<int32_t>(s) >> 8) * (1.0f / 8388608.0f);
+  };
+  auto fill = [&next](std::vector<float>& v) {
+    for (auto& x : v) x = next();
+  };
+  uint64_t fp = 1469598103934665603ull;  // FNV-1a 64
+  auto mix_bytes = [&fp](const void* p, size_t nbytes) {
+    const unsigned char* b = static_cast<const unsigned char*>(p);
+    for (size_t i = 0; i < nbytes; ++i) {
+      fp ^= b[i];
+      fp *= 1099511628211ull;
+    }
+  };
+  auto mix = [&mix_bytes](const std::vector<float>& v) {
+    mix_bytes(v.data(), v.size() * 4);
+  };
+
+  // 1) whole-plane plc pass (conv3x3_planar, both activations)
+  {
+    const int so = 3, h2 = 4, w2 = 8, wide = 12;
+    std::vector<float> parent(h2 * w2 * so), w1((wide + 3) / 4 * 4 * 9 * so),
+        b1((wide + 3) & ~3), w2p((wide + 3) / 4 * 4 * 9 * wide),
+        b2((wide + 3) & ~3), out(2 * h2 * 2 * w2 * wide);
+    for (auto* v : {&parent, &w1, &b1, &w2p, &b2}) fill(*v);
+    ztsep_plc_plane(parent.data(), h2, w2, so, w1.data(), b1.data(), wide,
+                    w2p.data(), b2.data(), out.data());
+    mix(out);
+  }
+
+  // 2) diagonal-batched grouped gemms (plain and accumulate forms)
+  {
+    const int in_t = 12, out_t = 24, groups = 3;
+    std::vector<float> xT(in_t * 16), wg(out_t * (in_t / groups)), bg(out_t),
+        yT(out_t * 16), y2T(out_t * 16);
+    for (auto* v : {&xT, &wg, &bg}) fill(*v);
+    grouped_gemm_lrelu_T(xT.data(), in_t, wg.data(), bg.data(), out_t,
+                         groups, true, 16, yT.data());
+    for (size_t i = 0; i < y2T.size(); ++i) y2T[i] = bg[i / 16];
+    grouped_gemm_acc_lrelu_T(xT.data(), in_t, wg.data(), out_t, groups, true,
+                             16, y2T.data());
+    mix(yT);
+    mix(y2T);
+  }
+
+  // 3) per-center level evaluator (csc taps + cgp tail). Cgp widths follow
+  // the real ratio constraints: in1 = 2*81 per group, out4 = 2*so.
+  {
+    const int so = 3, n = 5;
+    const int out1 = 18, out2 = 12, out3 = 9, out4 = 2 * so;
+    std::vector<float> patches(n * 25 * so), plc(n * so * 81),
+        csc_w(so * 81 * 25), csc_b(so * 81),
+        w1(out1 * 162), b1(out1), w2(out2 * (out1 / so)), b2(out2),
+        w3(out3 * (out2 / so)), b3(out3), w4(out4 * (out3 / so)), b4(out4);
+    for (auto* v : {&patches, &plc, &csc_w, &csc_b, &w1, &b1, &w2, &b2, &w3,
+                    &b3, &w4, &b4})
+      fill(*v);
+    std::vector<float> table = {0.2f, 0.5f, 1.0f, 2.0f, 5.0f};
+    std::vector<int32_t> idx(n * so);
+    std::vector<float> mu(n * so);
+    ztsep_level_centers(patches.data(), n, so, plc.data(), csc_w.data(),
+                        csc_b.data(), w1.data(), b1.data(), out1, w2.data(),
+                        b2.data(), out2, w3.data(), b3.data(), out3,
+                        w4.data(), b4.data(), out4, table.data(), 5, 0.11f,
+                        idx.data(), mu.data());
+    mix_bytes(idx.data(), idx.size() * 4);
+    mix(mu);
+  }
+
+  // 4) incremental PixelCNN step (masked taps + simd-reduction inner loop)
+  {
+    const int ic = 1, h = 5, w = 6, pad = 5;
+    const int o0 = 8, o1 = 8, o2 = 8, o3 = 8, o4 = 2 * ic;
+    std::vector<float> plane((h + 2 * pad) * (w + 2 * pad) * ic);
+    fill(plane);
+    std::vector<float> ws[5], bs[5];
+    const int outs[5] = {o0, o1, o2, o3, o4};
+    int in_prev = ic;
+    for (int l = 0; l < 5; ++l) {
+      ws[l].resize(static_cast<size_t>(outs[l]) * 9 * (in_prev / ic));
+      bs[l].resize(outs[l]);
+      fill(ws[l]);
+      fill(bs[l]);
+      in_prev = outs[l];
+    }
+    std::vector<float> a0((h + 2) * (w + 2) * o0, 0.0f),
+        a1((h + 2) * (w + 2) * o1, 0.0f), a2((h + 2) * (w + 2) * o2, 0.0f),
+        a3((h + 2) * (w + 2) * o3, 0.0f);
+    std::vector<float> table = {0.2f, 0.5f, 1.0f, 2.0f, 5.0f};
+    // two anti-diagonals (d = 2r + c) of the h x w plane
+    for (int d = 3; d <= 4; ++d) {
+      std::vector<int64_t> rows, cols;
+      for (int r = 0; r < h; ++r) {
+        const int c = d - 2 * r;
+        if (c >= 0 && c < w) {
+          rows.push_back(r);
+          cols.push_back(c);
+        }
+      }
+      std::vector<int32_t> idx(rows.size() * ic);
+      std::vector<float> mu(rows.size() * ic);
+      ztsep_pixelcnn_step(plane.data(), h, w, pad, ic, rows.data(),
+                          cols.data(), static_cast<int64_t>(rows.size()),
+                          a0.data(), a1.data(), a2.data(), a3.data(),
+                          ws[0].data(), bs[0].data(), o0, ws[1].data(),
+                          bs[1].data(), o1, ws[2].data(), bs[2].data(), o2,
+                          ws[3].data(), bs[3].data(), o3, ws[4].data(),
+                          bs[4].data(), o4, table.data(), 5, 0.11f,
+                          idx.data(), mu.data());
+      mix_bytes(idx.data(), idx.size() * 4);
+      mix(mu);
+    }
+    mix(a3);
+  }
+  return fp;
 }
 
 }  // extern "C"

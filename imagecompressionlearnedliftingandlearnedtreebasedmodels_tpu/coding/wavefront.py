@@ -106,9 +106,11 @@ class ZTSepPlaneCoder:
         sigma/mu, so a stream encoded with one MUST be decoded with the
         same one — the encoder records its choice in ``PlaneStreams.meta``
         and the decoder passes it back here. ``self.last_evaluator`` holds
-        the evaluator actually used. ``force_plc_backend`` pins the backend
-        of the whole-plane parent-context pass the same way (bf16
-        accumulation order differs between backends).
+        the evaluator actually used. ``force_plc_backend`` pins the
+        whole-plane parent-context pass the same way: "native" (the
+        default, deterministic host C++ — portable across machines whose
+        ``ctx_fingerprint`` matches) or an accelerator backend name (legacy
+        streams; bf16 accumulation order differs between backends).
         """
         coder = self.coder
         if x_true is not None:
@@ -117,23 +119,38 @@ class ZTSepPlaneCoder:
         assert b == 1
         if kind == "level":
             k, name, static = 5, "level_center_params", (level,)
-            # Whole-plane parent context, once per level, on the session's
-            # accelerator: the pass is two dense 243-channel 3x3 convs
-            # (~53 GFLOP at the finest Kodak level — ~1.6 s on this host's
-            # CPU vs one ~30 ms round trip + sub-ms compute on the TPU).
-            # Only the per-diagonal evals stay host-side.
-            backend = jax.default_backend()
-            if force_plc_backend is not None \
-                    and force_plc_backend != backend:
-                raise RuntimeError(
-                    f"stream's parent-context pass ran on "
-                    f"{force_plc_backend!r} but this session's backend is "
-                    f"{backend!r} — bf16 accumulation differs across "
-                    f"backends, decoding could corrupt the plane")
-            self.last_plc_backend = backend
-            plc = np.asarray(coder._entropy_method(
-                self.plane, "plc_params_from_parent", level)(
-                    None, jnp.asarray(np.asarray(con))))
+            # Whole-plane parent context, once per level: nearest-x2
+            # upsample + two dense 243-channel 3x3 convs. Preferred path is
+            # the native host kernel (deterministic fp32, no backend
+            # pinning, memoized across the encode/decode of one image);
+            # fall back to the session accelerator with backend pinning
+            # only if the C++ build is unavailable.
+            plc_native = None
+            if force_plc_backend in (None, "native"):
+                plc_native = coder._native_plc_eval(self.plane, level)
+            if plc_native is not None:
+                parent = np.ascontiguousarray(np.asarray(con), np.float32)
+                plc = coder._plc_memoized(self.plane, level, parent,
+                                          plc_native)
+                self.last_plc_backend = "native"
+            else:
+                if force_plc_backend == "native":
+                    raise RuntimeError(
+                        "stream's parent-context pass used the native (C++)"
+                        " evaluator but it is unavailable here — decoding "
+                        "with an accelerator pass could corrupt the plane")
+                backend = jax.default_backend()
+                if force_plc_backend is not None \
+                        and force_plc_backend != backend:
+                    raise RuntimeError(
+                        f"stream's parent-context pass ran on "
+                        f"{force_plc_backend!r} but this session's backend "
+                        f"is {backend!r} — bf16 accumulation differs across "
+                        f"backends, decoding could corrupt the plane")
+                self.last_plc_backend = backend
+                plc = np.asarray(coder._entropy_method(
+                    self.plane, "plc_params_from_parent", level)(
+                        None, jnp.asarray(np.asarray(con))))
         else:
             k, name, static = 11, ("xe_center_params" if kind == "xe"
                                    else "coarsest_center_params"), ()
@@ -254,13 +271,20 @@ def compress_ztsep(coder, plane: int, xe, xo_list):
     con = hat
     for i in range(L - 2, -1, -1):
         hat, syms, idxs = walker.code(
-            "level", i, np.asarray(xo_list[i]), None, None,
-            con=jnp.asarray(con))
+            "level", i, np.asarray(xo_list[i]), None, None, con=con)
         meta[f"evaluator_l{i}"] = walker.last_evaluator
         meta[f"plc_backend_l{i}"] = walker.last_plc_backend
         xo_hats[i] = hat
         streams_xo[i] = flush(syms, idxs)
         con = hat
+    if "native" in meta.values():
+        # arithmetic fingerprint of this build of the C++ coding kernels —
+        # the decoder refuses to decode native-encoded streams with a
+        # build whose kernels produce different bits (FMA/vector-width
+        # freedom under -march=native)
+        from .native_ctx import ctx_fingerprint
+
+        meta["ctx_fp"] = ctx_fingerprint()
     return (PlaneStreams(stream_xe, streams_xo, meta), xo_hats, xe_hat,
             xo_hats)
 
@@ -271,6 +295,23 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
     walker = ZTSepPlaneCoder(coder, plane)
 
     meta = getattr(streams, "meta", None) or {}
+    if "native" in meta.values():
+        from .native_ctx import ctx_fingerprint
+
+        fp = meta.get("ctx_fp")
+        try:
+            local_fp = ctx_fingerprint()
+        except Exception as e:
+            raise RuntimeError(
+                "stream was encoded with the native (C++) coding kernels "
+                f"but they are unavailable here ({type(e).__name__}: {e})"
+            ) from e
+        if fp is not None and fp != local_fp:
+            raise RuntimeError(
+                f"stream's native coding kernels fingerprint {fp} != this "
+                f"build's {local_fp} — the builds produce different bits "
+                "(FMA/vector-width differences), decoding would corrupt "
+                "the planes")
     xe_hat, _, _ = walker.code("xe", None, None, xe_shape, streams.xe,
                                force_evaluator=meta.get("evaluator_xe"))
     xo_hat: List[np.ndarray] = [None] * L
@@ -280,8 +321,7 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
     con = xo_hat[L - 1]
     for i in range(L - 2, -1, -1):
         xo_hat[i], _, _ = walker.code(
-            "level", i, None, xo_shapes[i], streams.xo[i],
-            con=jnp.asarray(con),
+            "level", i, None, xo_shapes[i], streams.xo[i], con=con,
             force_evaluator=meta.get(f"evaluator_l{i}"),
             force_plc_backend=meta.get(f"plc_backend_l{i}"))
         con = xo_hat[i]

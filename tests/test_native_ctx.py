@@ -157,3 +157,71 @@ def test_native_level_walk_matches_per_diagonal_reference():
     padded_dec = np.zeros((1, h + 4, w + 4, so), np.float32)
     ev.walk(padded_dec, plc, None, cdfs, lengths, offsets, stream=stream)
     np.testing.assert_array_equal(padded_dec, padded)
+
+
+def test_native_plc_plane_matches_jax():
+    """The host C++ whole-plane parent-context pass (upsample2 + conv3x3
+    LReLU + conv3x3) reproduces the jax ``plc_params_from_parent``."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.native_ctx import (
+        PLCPlaneEvaluator)
+
+    cfg = Config(netType="CDF97", entropy_layer="conditioned2ZTsepSubbands",
+                 autoencoder="SubbandAutoEncoder", clrch=1, dwtlevels=2)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    plane_params = jax.device_get(state.params["codecs_0"])
+    ev = PLCPlaneEvaluator(plane_params, level=0, so=3)
+
+    rng = np.random.RandomState(2)
+    # non-multiple-of-32 width exercises the junk-tail-column re-zeroing
+    parent = np.round(rng.randn(1, 6, 9, 3) * 3).astype(np.float32)
+    out_n = ev(parent)
+
+    plane = LiftingDWTCodec(cfg)
+
+    def fn(m, p):
+        return m.entropymodel.plc_params_from_parent(0, p)
+
+    out_j = np.asarray(plane.apply({"params": state.params["codecs_0"]},
+                                   jnp.asarray(parent), method=fn))
+    assert out_n.shape == out_j.shape == (1, 12, 18, 3 * 81)
+    np.testing.assert_allclose(out_n, out_j, atol=5e-4)
+
+
+def test_ctx_fingerprint_stable_and_checked():
+    """ctx_fingerprint is deterministic within a build, and decode refuses
+    a stream whose recorded fingerprint differs."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding import native_ctx
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.wavefront import (
+        compress_ztsep, decompress_ztsep)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.codec_coder import (
+        CodecCoder)
+    import pytest
+
+    fp1 = native_ctx.ctx_fingerprint()
+    native_ctx._ctx_fp_cache = None
+    assert native_ctx.ctx_fingerprint() == fp1
+
+    cfg = Config(netType="CDF97", entropy_layer="conditioned2ZTsepSubbands",
+                 autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=2,
+                 lambda_=100.0)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 16, 16, 3)),
+                       jax.random.PRNGKey(0))
+    coder = CodecCoder(cfg, model, state.params)
+    rng = np.random.RandomState(5)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32) - 0.5
+    streams, _, xe_hat, xo_hats = coder.compress_plane(0, img)
+    assert streams.meta.get("ctx_fp") == fp1
+    assert streams.meta.get("plc_backend_l0") == "native"
+
+    # round trip works with the matching build...
+    xe_dec, xo_dec = decompress_ztsep(
+        coder, 0, streams, xe_hat.shape, [t.shape for t in xo_hats])
+    np.testing.assert_array_equal(np.asarray(xe_dec), np.asarray(xe_hat))
+    # ...and is refused with a tampered fingerprint
+    streams.meta["ctx_fp"] = "0" * 16
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        decompress_ztsep(coder, 0, streams, xe_hat.shape,
+                         [t.shape for t in xo_hats])

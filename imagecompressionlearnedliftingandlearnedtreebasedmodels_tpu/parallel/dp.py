@@ -113,6 +113,7 @@ def make_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
         return jax.device_put(batch, bsh)
 
     dp_step.shard_batch = shard_batch
+    dp_step.lower = jitted.lower  # AOT trace+lower (flagship-scale evidence)
     return dp_step, shard_state
 
 
@@ -179,6 +180,7 @@ def make_chained_shardmap_train_step(cfg: Config, model, tx, mesh: Mesh,
                       jnp.asarray(lam, jnp.float32))
 
     chained_step.replicated_sharding = repl
+    chained_step.lower = jitted.lower
     return chained_step
 
 

@@ -130,6 +130,11 @@ class Config:
     #   chunking k steps amortizes the RTT to ~1/k per step.
     dtype: str = "float32"              # compute dtype of transform path
     tile_size: int = 0                  # >0: spatially tiled encode with halo
+    halo_eval: bool = False             # CDF97 + mesh: validate() runs the
+    #   EXACT mesh-sharded 9/7 transform (parallel/tiling.py
+    #   make_halo_eval_step — boundary rows over ICI ppermute) instead of
+    #   the batch-sharded eval step; image heights must divide by
+    #   n_devices * 2^dwtlevels
     jit_backend: Optional[str] = None
 
     # --- experiment dirs (filled by process_config) ----------------------

@@ -5,7 +5,9 @@ reference trains on top of a frozen codec (``config.postprocess`` dispatch at
 ``agents/liftingDWT_agent.py:26-36``; architectures in
 ``graphs/layers/post_processing_networks.py``):
 
-- ``DnCNN``      residual denoiser, 17 layers, BN (reference ``:18-36``)
+- ``DnCNN``      shallow residual denoiser ``DnCNN(D=clrch, C=64)``
+                 (reference ``:340-369``; module-scope name shadowing — see
+                 the class docstring)
 - ``iwave``      iWave++-style residual restoration (reference ``:39-77``)
 - ``IRCNN``      7-layer dilated denoiser, dilations 1,2,3,4,3,2,1
                  (reference ``:79-118``)
@@ -41,24 +43,31 @@ def pixel_shuffle(x, r: int):
 
 
 class DnCNN(nn.Module):
-    """Residual denoiser: conv-relu, (D-2) x conv-BN-relu, conv; y = x - f(x)."""
+    """Config-selectable DnCNN: conv-relu, D x (conv-BN-relu), conv with a
+    global residual ADD.
 
-    channels: int
-    num_layers: int = 17
+    NOTE: the reference file defines ``DnCNN`` twice; the later
+    NNRegressor-style class (``post_processing_networks.py:340-369``)
+    shadows the 17-layer Sequential one at module scope, so the net the
+    agent actually builds is ``DnCNN(D=clrch, C=64)``
+    (``liftingDWT_agent.py:28``) — a shallow residual denoiser, not the
+    17-layer ``x - f(x)`` form.
+    """
+
+    depth: int
     features: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME",
-                            use_bias=False)(x))
-        for _ in range(self.num_layers - 2):
-            h = nn.Conv(self.features, (3, 3), padding="SAME",
-                        use_bias=False)(h)
-            h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        for _ in range(self.depth):
+            h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
+            # the reference constructs ``nn.BatchNorm2d(C, C)`` — the second
+            # positional arg is eps, so eps == C == 64 (:357)
+            h = nn.BatchNorm(use_running_average=not train,
+                             epsilon=float(self.features))(h)
             h = nn.relu(h)
-        noise = nn.Conv(self.channels, (3, 3), padding="SAME",
-                        use_bias=False)(h)
-        return x - noise
+        return nn.Conv(x.shape[-1], (3, 3), padding="SAME")(h) + x
 
 
 class PostProcessResidual(nn.Module):
@@ -119,8 +128,14 @@ class _DIDNResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.width
+        # stride-2 convs use explicit ((1,1),(1,1)) padding: torch's
+        # Conv2d(k=3, s=2, padding=1) alignment, NOT flax SAME (which pads
+        # (0,1) at stride 2 — a half-pixel shift that breaks reference
+        # weight parity)
         conv = lambda f, k=3, s=1: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False)
+            f, (k, k), strides=(s, s),
+            padding=((1, 1), (1, 1)) if (k, s) == (3, 2) else "SAME",
+            use_bias=False)
         prelu = lambda h: nn.PReLU()(h)  # noqa: E731
 
         res1 = x
@@ -188,7 +203,8 @@ class DIDN(nn.Module):
         residual = x
         out = nn.PReLU()(nn.Conv(w, (3, 3), padding="SAME",
                                  use_bias=False)(x))
-        out = nn.PReLU()(nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME",
+        out = nn.PReLU()(nn.Conv(w, (3, 3), strides=(2, 2),
+                                 padding=((1, 1), (1, 1)),
                                  use_bias=False)(out))
         blocks = [_DIDNResidualBlock(w) for _ in range(6)]
         recon = _DIDNReconBlock(w)
@@ -227,20 +243,24 @@ class DUDnCNN(nn.Module):
 
         conv = lambda f, d: nn.Conv(  # noqa: E731
             f, (3, 3), padding="SAME", kernel_dilation=(d, d))
+        # ``nn.BatchNorm2d(C, C)`` in the reference (:469) sets eps == C
+        bn = lambda h: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            epsilon=float(self.features))(h)
         h = nn.relu(conv(self.features, dilations[0])(x))
         h_buff = []
         for i in range(D // 2 - 1):
             h = conv(self.features, dilations[i + 1])(h)
-            h = nn.relu(nn.BatchNorm(use_running_average=not train)(h))
+            h = nn.relu(bn(h))
             h_buff.append(h)
         for i in range(D // 2 - 1, D // 2 + 1):
             h = conv(self.features, dilations[i + 1])(h)
-            h = nn.relu(nn.BatchNorm(use_running_average=not train)(h))
+            h = nn.relu(bn(h))
         for i in range(D // 2 + 1, D):
             j = i - (D // 2 + 1) + 1
             h = conv(self.features, dilations[i + 1])(
                 (h + h_buff[-j]) / np.sqrt(2))
-            h = nn.relu(nn.BatchNorm(use_running_average=not train)(h))
+            h = nn.relu(bn(h))
         return conv(x.shape[-1], dilations[-1])(h) + x
 
 
@@ -248,7 +268,7 @@ def make_postprocess(cfg: Config) -> nn.Module:
     """Restoration-net dispatch (reference ``liftingDWT_agent.py:26-36``)."""
     kind = cfg.postprocess
     if kind == "DnCNN":
-        return DnCNN(channels=3)
+        return DnCNN(depth=cfg.clrch)
     if kind == "iwave":
         return PostProcessingiWave(cfg)
     if kind == "IRCNN":

@@ -109,6 +109,91 @@ def tiled_forward(cfg: Config, model, params, x: np.ndarray, mesh: Mesh):
     return untile_image(xhat_tiles, meta)
 
 
+def make_halo_eval_step(cfg: Config, model, mesh: Mesh):
+    """EXACT fully-sharded surrogate eval for ``netType == "CDF97"``.
+
+    The image is H-sharded over the mesh; the fixed 9/7 transform runs via
+    :func:`halo_dwt97_2d` (boundary rows ride ``ppermute`` over ICI — no
+    margins, no re-encode overhead, bit-identical to the single-device
+    transform), the subband AEs and the entropy model run on the sharded
+    subbands under GSPMD (pointwise AEs stay local; the masked convs of the
+    conditioned entropy models get their halos from XLA's SPMD partitioner),
+    and metrics reduce with global means. Unlike the per-tile surrogate
+    (:func:`tiled_forward`) this is exact and its rates are the true
+    single-stream rates.
+
+    Enabled by ``cfg.halo_eval``; requires image heights divisible by
+    ``n_devices * 2 ** dwtlevels``. Returns ``step(params, batch) ->
+    RDLossOutput`` — a drop-in for the agent's ``eval_step``.
+    """
+    from ..ops import color
+    from ..train.loss import rd_loss3
+
+    if cfg.netType != "CDF97":
+        raise ValueError("halo_eval requires the fixed CDF97 transform "
+                         f"(netType={cfg.netType!r})")
+    levels = cfg.dwtlevels
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    unit = n_dev * 2 ** levels
+
+    def _subbands(mdl, ll, highs):
+        """AE + entropy on sharded subbands (runs under ``model.apply``)."""
+        def one(codec, ll_c, highs_c):
+            tr, em = codec.transform, codec.entropymodel
+            xe = tr.yl_ae.encode(ll_c)
+            xo = [tr.yh_ae[i].encode(highs_c[i]) for i in range(levels)]
+            info_xe, info_xo, xe_q, xo_q = em(xe, xo, False)
+            ll_hat = tr.yl_ae.decode(xe_q)
+            highs_hat = [tr.yh_ae[i].decode(xo_q[i]) for i in range(levels)]
+            return info_xe, info_xo, ll_hat, highs_hat
+        if mdl.cfg.clrch == 3:
+            return one(mdl.codec, ll, highs)
+        ixe, ixo, lls, hhs = [], [], [], []
+        for i in range(3):
+            a, b, c, d = one(mdl.codecs[i], ll[..., i:i + 1],
+                             [h[..., 3 * i:3 * (i + 1)] for h in highs])
+            ixe.append(a)
+            ixo.append(b)
+            lls.append(c)
+            hhs.append(d)
+        info_xe = jnp.concatenate(ixe, axis=-1)
+        info_xo = [t for per_plane in ixo for t in per_plane]
+        ll_hat = jnp.concatenate(lls, axis=-1)
+        highs_hat = [jnp.concatenate([hhs[i][lv] for i in range(3)], axis=-1)
+                     for lv in range(levels)]
+        return info_xe, info_xo, ll_hat, highs_hat
+
+    @jax.jit
+    def _step(params, x):
+        if cfg.clrch == 3:
+            y = x - 0.5
+        else:
+            y = color.shift_ycbcr(color.rgb_to_ycbcr(x))
+        ll, highs = halo_dwt97_2d(y, mesh, levels, axis)
+        info_xe, info_xo, ll_hat, highs_hat = model.apply(
+            {"params": params}, ll, highs, method=_subbands)
+        yhat = halo_idwt97_2d(ll_hat, highs_hat, mesh, axis)
+        if cfg.clrch == 3:
+            xs, xhat = y, yhat
+        else:
+            xs = x - 0.5
+            xhat = color.ycbcr_to_rgb(color.unshift_ycbcr(yhat)) - 0.5
+        xhat = jnp.clip(xhat, -0.5, 0.5)  # reference liftingDWT_agent.py:181
+        return rd_loss3(xs, xhat, info_xe, info_xo, cfg.lambda_, 1.0)
+
+    sharding = NamedSharding(mesh, P(None, axis))
+
+    def step(params, batch):
+        h = int(batch.shape[1])
+        if h % unit:
+            raise ValueError(
+                f"halo_eval: H={h} must divide by n_devices*2^levels={unit}")
+        return _step(params, jax.device_put(jnp.asarray(batch), sharding))
+
+    return step
+
+
 def halo_dwt97_2d(x, mesh: Mesh, levels: int, axis: str = "data"):
     """Full multi-level 9/7 DWT of an H-sharded NHWC array via shard_map.
 

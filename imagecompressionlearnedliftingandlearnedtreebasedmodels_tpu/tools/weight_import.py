@@ -199,7 +199,148 @@ def build_mapping(cfg: Config) -> List[Tuple[str, str, str]]:
                 entries.append((
                     f"{em}.csc_xe.{idx}.bias",
                     f"{de}/pixelcnn_xe/MaskedConv2d_{j}/bias", "raw"))
+        elif cfg.entropy_layer == "DWTConditioned2EntropyLayerZTBlock":
+            # reference dep nets: per (finer level i coarse->fine, subband j)
+            # one 5-conv Sequential per coset k, module lists
+            # ``dep_{k+1}_list_{mu,sigma}`` indexed ``j + i*3``
+            # (``LiftingBasedDWT_net.py:618-680, 711-745``); ours are
+            # ``dep_{mu,sigma}_{idx}_{k}/Conv_{0..4}`` with the same idx.
+            entries += _eb_entries(f"{em}.ent_out_xe", f"{de}/eb_xe")
+            entries += _eb_entries(f"{em}.ent_out_xo", f"{de}/eb_xo")
+            for idx in range((L - 1) * 3 * cfg.clrch):
+                for k in range(4):
+                    for nm in ("mu", "sigma"):
+                        for j, sidx in enumerate((0, 2, 4, 6, 8)):
+                            tk = f"{em}.dep_{k + 1}_list_{nm}.{idx}.{sidx}"
+                            fx = f"{de}/dep_{nm}_{idx}_{k}/Conv_{j}"
+                            entries.append((f"{tk}.weight", f"{fx}/kernel",
+                                            "conv"))
+                            entries.append((f"{tk}.bias", f"{fx}/bias",
+                                            "raw"))
     return entries
+
+
+def _conv_entries(tprefix: str, dst: str, bias: bool = True):
+    out = [(f"{tprefix}.weight", f"params/{dst}/kernel", "conv")]
+    if bias:
+        out.append((f"{tprefix}.bias", f"params/{dst}/bias", "raw"))
+    return out
+
+
+def _bn_entries_pp(tprefix: str, dst: str):
+    return [
+        (f"{tprefix}.weight", f"params/{dst}/scale", "raw"),
+        (f"{tprefix}.bias", f"params/{dst}/bias", "raw"),
+        (f"{tprefix}.running_mean", f"batch_stats/{dst}/mean", "raw"),
+        (f"{tprefix}.running_var", f"batch_stats/{dst}/var", "raw"),
+    ]
+
+
+def build_postprocess_mapping(cfg: Config) -> List[Tuple[str, str, str]]:
+    """(torch_key, '<collection>/<flax_path>', kind) for the restoration net
+    selected by ``cfg.postprocess`` — the reference stores its weights as a
+    separate ``state_dict_postprocess`` checkpoint entry
+    (``agents/base.py:111-124``; architectures in
+    ``post_processing_networks.py``)."""
+    kind = cfg.postprocess
+    e: List[Tuple[str, str, str]] = []
+    if kind == "DnCNN":
+        # NNRegressor-style DnCNN(D=clrch, C=64) — the module-scope name
+        # the agent imports (the 17-layer Sequential DnCNN earlier in the
+        # reference file is shadowed; see models/postprocess.py)
+        D = cfg.clrch
+        for i in range(D + 2):
+            e += _conv_entries(f"conv.{i}", f"Conv_{i}")
+        for i in range(D):
+            e += _bn_entries_pp(f"bn.{i}", f"BatchNorm_{i}")
+    elif kind == "iwave":
+        e += _conv_entries("convFilter", "Conv_0")
+        for i in range(cfg.resnetlevel):
+            e += _conv_entries(f"resNetList.{i}.resNet.0",
+                               f"PostProcessResidual_{i}/Conv_0")
+            e += _conv_entries(f"resNetList.{i}.resNet.2",
+                               f"PostProcessResidual_{i}/Conv_1")
+        e += _conv_entries("interConvFilter", "Conv_1")
+        e += _conv_entries("outputConvFilter", "Conv_2")
+    elif kind == "IRCNN":
+        # B.sequential flattens conv/relu pairs: convs at 0,2,..,12 (ref :99-114)
+        for j, i in enumerate(range(0, 13, 2)):
+            e += _conv_entries(f"model.{i}", f"Conv_{j}")
+    elif kind == "DUDnCNN":
+        D = cfg.resnetlevel
+        for i in range(D + 2):
+            e += _conv_entries(f"conv.{i}", f"Conv_{i}")
+        for i in range(D):
+            e += _bn_entries_pp(f"bn.{i}", f"BatchNorm_{i}")
+    elif kind == "DIDN":
+        # top level (ref :276-330); call-order flax names
+        e += _conv_entries("conv_input", "Conv_0", bias=False)
+        e.append(("relu1.weight", "params/PReLU_0/negative_slope", "prelu"))
+        e += _conv_entries("conv_down", "Conv_1", bias=False)
+        e.append(("relu2.weight", "params/PReLU_1/negative_slope", "prelu"))
+        res_convs = ("conv1", "conv3", "conv5", "conv7", "conv9", "conv11",
+                     "conv13", "conv15", "conv16", "conv18", "conv20",
+                     "conv21", "conv23", "conv25")
+        res_prelus = ("relu2", "relu4", "relu6", "relu8", "relu10", "relu12",
+                      "relu17", "relu22", "relu24")
+        for b, name in enumerate("ABCDEF"):
+            blk = f"_DIDNResidualBlock_{b}"
+            for j, t in enumerate(res_convs):
+                e += _conv_entries(f"recursive_{name}.{t}",
+                                   f"{blk}/Conv_{j}", bias=False)
+            for j, t in enumerate(res_prelus):
+                e.append((f"recursive_{name}.{t}.weight",
+                          f"params/{blk}/PReLU_{j}/negative_slope", "prelu"))
+        for j in range(9):  # shared recon block (ref :222-274)
+            e += _conv_entries(f"recon.conv{2 * j + 1}",
+                               f"_DIDNReconBlock_0/Conv_{j}", bias=False)
+        for j in range(8):
+            e.append((f"recon.relu{2 * j + 2}.weight",
+                      f"params/_DIDNReconBlock_0/PReLU_{j}/negative_slope",
+                      "prelu"))
+        e += _conv_entries("conv_mid", "Conv_2", bias=False)
+        e.append(("relu3.weight", "params/PReLU_2/negative_slope", "prelu"))
+        e += _conv_entries("conv_mid2", "Conv_3", bias=False)
+        e.append(("relu4.weight", "params/PReLU_3/negative_slope", "prelu"))
+        e += _conv_entries("conv_output", "Conv_4", bias=False)
+    else:
+        raise ValueError(f"unknown postprocess {kind!r}")
+    return e
+
+
+def import_postprocess_state_dict(cfg: Config, variables,
+                                  state_dict: Dict) -> Tuple[dict, List[str]]:
+    """Map a reference ``state_dict_postprocess`` onto the restoration net's
+    flax variables (both ``params`` and ``batch_stats`` collections).
+
+    Returns ``(new_variables, unmatched_torch_keys)``.
+    """
+    import jax
+
+    tree = jax.tree_util.tree_map(np.asarray, variables)
+
+    def to_dict(t):
+        if isinstance(t, dict):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+
+    tree = to_dict(dict(tree))
+    used = set()
+    for torch_key, path, kind in build_postprocess_mapping(cfg):
+        if torch_key not in state_dict:
+            continue
+        w = np.asarray(state_dict[torch_key])
+        if kind == "conv":
+            w = _conv_w(w)
+        elif kind == "prelu":   # torch (1,) -> flax scalar
+            w = np.asarray(w).reshape(())
+        _set(tree, path, w)
+        used.add(torch_key)
+    unmatched = [k for k in state_dict
+                 if k not in used
+                 and not any(s in k for s in _SKIP_SUBSTRINGS)
+                 and "num_batches_tracked" not in k]
+    return tree, unmatched
 
 
 _SKIP_SUBSTRINGS = (".mask", "._offset", "._quantized_cdf", "._cdf_length",

@@ -47,7 +47,13 @@ class LiftingDWTAgent:
             from ..parallel import dp
             self.train_step, self._shard_state = dp.make_shardmap_train_step(
                 cfg, self.model, self.tx, self.mesh)
-            self.eval_step = dp.make_dp_eval_step(cfg, self.model, self.mesh)
+            if cfg.halo_eval:
+                from ..parallel.tiling import make_halo_eval_step
+                self.eval_step = make_halo_eval_step(
+                    cfg, self.model, self.mesh)
+            else:
+                self.eval_step = dp.make_dp_eval_step(
+                    cfg, self.model, self.mesh)
             if cfg.steps_per_call > 1:
                 self.chained_step = dp.make_chained_shardmap_train_step(
                     cfg, self.model, self.tx, self.mesh)

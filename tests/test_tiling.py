@@ -138,3 +138,50 @@ def test_tiled_bitstream_roundtrip_2k():
     res = tc.compress_decompress(x)
     assert res.xhat.shape == x.shape
     assert res.bpp > 0 and np.isfinite(res.psnr)
+
+
+def test_halo_eval_step_matches_single_device():
+    """make_halo_eval_step (exact sharded CDF97 surrogate eval) returns the
+    same RD metrics as the unsharded eval step, for both color policies."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+        make_eval_step)
+
+    for clrch in (3, 1):
+        cfg = Config(netType="CDF97", entropy_layer="factorized",
+                     autoencoder="SubbandAutoEncoder", clrch=clrch,
+                     dwtlevels=2, filtersize=5, lambda_=100.0)
+        model = CodecWrapper(cfg)
+        state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                           jax.random.PRNGKey(0))
+        rng = np.random.RandomState(5)
+        x = rng.rand(1, 64, 32, 3).astype(np.float32)  # 64 % (8*2^2) == 0
+
+        mesh = mesh_lib.make_mesh(8)
+        halo_step = tiling.make_halo_eval_step(cfg, model, mesh)
+        ref_step = make_eval_step(cfg, model)
+
+        got = halo_step(state.params, x)
+        want = ref_step(state.params, jnp.asarray(x))
+        np.testing.assert_allclose(float(got.mse), float(want.mse),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(float(got.rate1), float(want.rate1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(got.rate2), float(want.rate2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(got.loss), float(want.loss),
+                                   rtol=1e-4)
+
+
+def test_halo_eval_step_rejects_bad_height():
+    import pytest as _pytest
+
+    cfg = Config(netType="CDF97", entropy_layer="factorized",
+                 autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=2,
+                 filtersize=5)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(8)
+    step = tiling.make_halo_eval_step(cfg, model, mesh)
+    with _pytest.raises(ValueError, match="divide"):
+        step(state.params, np.zeros((1, 48, 32, 3), np.float32))

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from . import pallas_conv
+
 
 def conv3x3_im2colT(x, kernel, bias=None, dtype=jnp.bfloat16):
     """SAME 3x3 conv, NHWC, zero padding; bf16 matmul in (Cout, N) layout.
@@ -155,14 +157,24 @@ class FastConv5x5(nn.Module):
 
 
 class FastConv3x3(nn.Module):
-    """Drop-in for ``nn.Conv(features, (3,3), padding='SAME')`` with the
-    transposed-im2col compute path. Param names/shapes identical to
-    ``nn.Conv`` (kernel (3,3,Cin,Cout), bias (Cout,)), so checkpoints and
-    the weight importer are layout-compatible."""
+    """Drop-in for ``nn.Conv(features, (3,3), padding='SAME')``. Param
+    names/shapes identical to ``nn.Conv`` (kernel (3,3,Cin,Cout), bias
+    (Cout,)), so checkpoints and the weight importer are layout-compatible.
+
+    Compute path: on the TPU backend, wide-channel layers go through the
+    fused-halo Pallas kernel (``ops/pallas_conv.py`` — input crosses HBM
+    once instead of 9x); everything else (CPU tests, narrow channels,
+    ragged widths) uses the transposed-im2col matmul. Both paths are
+    value-equivalent to ``nn.Conv``; ``use_pallas=False`` pins im2colT
+    (e.g. for A/B timing). The Pallas path is a single-device kernel —
+    fine under ``shard_map`` (per-device programs) and single-chip jit;
+    a future multi-chip GSPMD eval path would need a sharding rule or
+    ``use_pallas=False``."""
 
     features: int
     dtype: object = jnp.bfloat16
     use_bias: bool = True
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -171,4 +183,9 @@ class FastConv3x3(nn.Module):
                             (3, 3, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if (self.use_pallas
+                and jax.default_backend() in ("tpu", "axon")
+                and pallas_conv.supported(x.shape, cin, self.features)):
+            y = pallas_conv.conv3x3_halo(x, kernel, self.dtype)
+            return y + bias if bias is not None else y
         return conv3x3_im2colT(x, kernel, bias, self.dtype)

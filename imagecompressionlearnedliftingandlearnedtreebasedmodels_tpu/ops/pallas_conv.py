@@ -45,9 +45,26 @@ from jax.experimental import pallas as pl
 _INTERPRET = False
 
 
-def _pick_tile_h(h: int) -> int:
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _pick_tile_h(h: int, w: int, cin: int, cout: int,
+                 dsize: int = 2, budget: int = 11 << 20) -> int:
+    """Largest row tile whose VMEM footprint fits the budget.
+
+    Footprint model (padded to the (8,128)/(16,128) tile grid): the input
+    halo block double-buffered by the pipeline, the fp32 accumulator, the
+    output block, and the full weight stack. ~11 MB of the 16 MB VMEM
+    leaves room for Mosaic's own scratch.
+    """
+    kw = 9 * _round_up(cin, 128) * _round_up(cout, 128) * dsize
     for th in (32, 16, 8, 4, 2, 1):
-        if h % th == 0:
+        if h % th:
+            continue
+        xin = 2 * (th + 2) * _round_up(w + 2, 8) * _round_up(cin, 128) * dsize
+        out = 2 * th * _round_up(w, 8) * _round_up(cout, 128) * 4
+        if xin + 2 * out + kw <= budget:
             return th
     return 1
 
@@ -71,7 +88,7 @@ def _conv_kernel(x_ref, k_ref, o_ref, *, th: int, w: int):
 def _conv3x3_halo_fwd(x, kernel, dtype=jnp.bfloat16, interpret=False):
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
-    th = _pick_tile_h(h)
+    th = _pick_tile_h(h, w, cin, cout, 2 if dtype == jnp.bfloat16 else 4)
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
     kr = kernel.reshape(9, cin, cout).astype(dtype)
     grid = (b, h // th)

@@ -22,15 +22,21 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SERIES = [
     # (file/points key, label, okabe-ito color, linestyle)
     ("jpeg_anchor", "JPEG (PIL)", "#7f7f7f", "--"),
+    ("jpeg2000_anchor", "JPEG 2000 (OpenJPEG)", "#009E73", "--"),
     ("rd_cdf97", "CDF 9/7 + factorized", "#56B4E9", "-"),
     ("rd_flagship", "Lifting v4 + ZTsepSubbands", "#D55E00", "-"),
 ]
 
 
 def load_points(name):
-    if name == "jpeg_anchor":
-        d = json.load(open(os.path.join(ROOT, "results", "rd_cdf97.json")))
-        return sorted((b, p) for b, p in d["jpeg_anchor"])
+    if name.endswith("_anchor"):
+        # anchors are stamped into both results files; prefer the flagship
+        # copy, fall back to cdf97 (same eval set, same encoder settings)
+        for src in ("rd_flagship", "rd_cdf97"):
+            d = json.load(open(os.path.join(ROOT, "results", f"{src}.json")))
+            if d.get(name):
+                return sorted((b, p) for b, p in d[name])
+        return []
     d = json.load(open(os.path.join(ROOT, "results", f"{name}.json")))
     return sorted((v["bpp"], v["psnr"]) for v in d["points"].values())
 
@@ -49,6 +55,7 @@ def cross_bd_rates():
     fl = load_points("rd_flagship")
     out = {}
     for anchor_key, name in (("jpeg_anchor", "bd_rate_vs_jpeg_pct"),
+                             ("jpeg2000_anchor", "bd_rate_vs_jpeg2000_pct"),
                              ("rd_cdf97", "bd_rate_vs_cdf97_pct")):
         an = load_points(anchor_key)
         if len(an) >= 3 and len(fl) >= 3:

@@ -5,136 +5,145 @@
 // precomputed parent context (plc), and a grouped 1x1 conv stack (cgp) to
 // (sigma, mu) -> CDF index. These are tiny dense ops dominated by dispatch
 // overhead in any tensor framework; this C++ path evaluates a whole
-// diagonal's pixels in one call with simple FMA loops.
+// diagonal's pixels in one call with register-blocked FMA kernels.
 //
 // Weight layout matches the flax params exactly:
 //   csc kernel (5,5,1,so*81) grouped by so (input channel g feeds outputs
 //   [g*81,(g+1)*81)), bias (so*81)
 //   cgp convs 1x1 grouped by so: kernel (in/g, out_total), bias (out_total)
 // LeakyReLU slope 0.01 between cgp layers (flax/torch default).
+//
+// Algebraic restructuring (bit-identical between the plane walk and the
+// per-diagonal entry point, both built on the same core):
+//   cgp layer 0 consumes the fused [plc_g ; csc_g] blocks per group, and
+//   csc is itself LINEAR (masked 5x5, 12 causal taps). So
+//     h1 = lrelu(W1p*plc + W1c*(Csc*x + csc_b) + b1)
+//        = lrelu(W1p*plc + (W1c*Csc)*x + (b1 + W1c*csc_b))
+//   The 12-tap composed map (W1c*Csc) cuts the csc+fusion cost from
+//   ~42k to ~5.8k MAC/center, and the plc half runs as a diagonal-batched
+//   grouped GEMM instead of a per-center GEMV. Composition happens HERE in
+//   fixed j-ascending order (never in numpy/BLAS) so the arithmetic is
+//   covered by ztsep_ctx_fingerprint().
 
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
 
 constexpr float kLReLU = 0.01f;
 
-inline void grouped_matmul_lrelu(const float* __restrict__ x, int in_total,
-                                 const float* __restrict__ w,
-                                 const float* __restrict__ b,
-                                 int out_total, int groups, bool act,
-                                 float* __restrict__ y) {
-  // w layout: (out_total, in_per_g) — pre-transposed by the Python binding
-  // for unit-stride weight reads (the flax kernel layout (in, out) strides
-  // by out_total per tap, which is cache-hostile here).
-  const int in_g = in_total / groups;
-  const int out_g = out_total / groups;
-  for (int o = 0; o < out_total; ++o) {
-    const int g = o / out_g;
-    const float* xg = x + g * in_g;
-    const float* wo = w + static_cast<int64_t>(o) * in_g;
-    float acc = b ? b[o] : 0.0f;
-#pragma omp simd reduction(+ : acc)
+// ---------------------------------------------------------------------------
+// Vector micro-kernel plumbing. GCC/Clang vector extensions: 16 f32 lanes,
+// legalized to zmm on AVX-512 (see -mprefer-vector-width=512 in the build),
+// 2x ymm elsewhere — lane semantics identical either way, so results do not
+// depend on the target's vector width. Every accumulator below is built by
+// one FMA per (lane, input) in a FIXED input-ascending order; the only
+// arch-dependent freedom is FMA contraction, captured by the runtime
+// fingerprint at the bottom of this file.
+typedef float v16 __attribute__((vector_size(64)));
+
+inline v16 v16load(const float* p) {
+  v16 v;
+  __builtin_memcpy(&v, p, 64);
+  return v;
+}
+inline void v16store(float* p, v16 v) { __builtin_memcpy(p, &v, 64); }
+inline v16 v16splat(float x) {
+  // braced form -> single vbroadcastss (or an embedded-broadcast FMA
+  // operand); the ((v16){} + x) idiom costs an extra vaddss on the FP
+  // ports, which contend with the FMAs
+  return (v16){x, x, x, x, x, x, x, x, x, x, x, x, x, x, x, x};
+}
+inline v16 v16lrelu(v16 a) { return a < 0.0f ? a * kLReLU : a; }
+
+inline int64_t round_up32(int64_t n) { return (n + 31) & ~int64_t(31); }
+
+// OB output rows x 32-pixel tiles over the whole row span [0, n32).
+//   x: (in_g, n32) rows for this group;  w: OB rows, stride in_g;
+//   y: OB rows, stride n32. acc=false initializes from bias (or 0), else
+//   accumulates onto existing y.
+template <int OB>
+void gemm_rows(const float* __restrict__ xg, int64_t n32,
+               const float* __restrict__ w, int in_g,
+               const float* __restrict__ bias, bool acc, bool act,
+               float* __restrict__ y) {
+  for (int64_t p = 0; p < n32; p += 32) {
+    v16 a[OB][2];
+#pragma GCC unroll 8
+    for (int o = 0; o < OB; ++o) {
+      if (acc) {
+        a[o][0] = v16load(y + static_cast<int64_t>(o) * n32 + p);
+        a[o][1] = v16load(y + static_cast<int64_t>(o) * n32 + p + 16);
+      } else {
+        a[o][0] = a[o][1] = v16splat(bias ? bias[o] : 0.0f);
+      }
+    }
     for (int i = 0; i < in_g; ++i) {
-      acc += xg[i] * wo[i];
+      const v16 x0 = v16load(xg + static_cast<int64_t>(i) * n32 + p);
+      const v16 x1 = v16load(xg + static_cast<int64_t>(i) * n32 + p + 16);
+#pragma GCC unroll 8
+      for (int o = 0; o < OB; ++o) {
+        const v16 wv = v16splat(w[static_cast<int64_t>(o) * in_g + i]);
+        a[o][0] += wv * x0;
+        a[o][1] += wv * x1;
+      }
     }
-    y[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
+#pragma GCC unroll 8
+    for (int o = 0; o < OB; ++o) {
+      if (act) {
+        a[o][0] = v16lrelu(a[o][0]);
+        a[o][1] = v16lrelu(a[o][1]);
+      }
+      v16store(y + static_cast<int64_t>(o) * n32 + p, a[o][0]);
+      v16store(y + static_cast<int64_t>(o) * n32 + p + 16, a[o][1]);
+    }
   }
 }
 
-// Batched form over a whole diagonal: activations live transposed as
-// (channels, n) so the n centers are the unit-stride SIMD axis and every
-// weight is read ONCE per diagonal instead of once per center (the
-// per-center form is L2-bandwidth-bound on the 315 KB cgp layer-1 weights).
-inline void grouped_gemm_lrelu_T(const float* __restrict__ xT, int in_total,
-                                 const float* __restrict__ w,
-                                 const float* __restrict__ b,
-                                 int out_total, int groups, bool act,
-                                 int64_t n, float* __restrict__ yT) {
-  // Input channels unrolled by 4: one y-row load/store pass covers four
-  // inputs (the plain axpy form was store-bound at ~4.6 GMAC/s; this form
-  // measured ~3x that). Each y element still accumulates in a FIXED
-  // (i ascending, left-to-right within the 4-term sum) order — determinism
-  // of the coding arithmetic is per-binary and checked against
-  // ``ztsep_ctx_fingerprint`` at decode time.
+inline void gemm_rows_dispatch(int ob, const float* xg, int64_t n32,
+                               const float* w, int in_g, const float* bias,
+                               bool acc, bool act, float* y) {
+  switch (ob) {
+    case 8: gemm_rows<8>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 7: gemm_rows<7>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 6: gemm_rows<6>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 5: gemm_rows<5>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 4: gemm_rows<4>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 3: gemm_rows<3>(xg, n32, w, in_g, bias, acc, act, y); break;
+    case 2: gemm_rows<2>(xg, n32, w, in_g, bias, acc, act, y); break;
+    default: gemm_rows<1>(xg, n32, w, in_g, bias, acc, act, y); break;
+  }
+}
+
+// Grouped 1x1 "conv" over transposed activations: xT (in_total, n32) with
+// group g's rows at [g*in_g, (g+1)*in_g); w (out_total, in_g) row-major;
+// yT (out_total, n32). Each output element accumulates bias-then-inputs in
+// ascending-i order — remainder blocking never changes the bits.
+inline void grouped_gemm_v(const float* xT, int in_total, const float* w,
+                           const float* b, int out_total, int groups,
+                           bool acc, bool act, int64_t n32, float* yT) {
   const int in_g = in_total / groups;
   const int out_g = out_total / groups;
-  for (int o = 0; o < out_total; ++o) {
-    const int g = o / out_g;
-    const float* wo = w + static_cast<int64_t>(o) * in_g;
-    float* yrow = yT + static_cast<int64_t>(o) * n;
-    const float bias = b ? b[o] : 0.0f;
-    for (int64_t p = 0; p < n; ++p) yrow[p] = bias;
-    const float* xbase = xT + static_cast<int64_t>(g) * in_g * n;
-    int i = 0;
-    for (; i + 4 <= in_g; i += 4) {
-      const float w0 = wo[i], w1 = wo[i + 1], w2 = wo[i + 2], w3 = wo[i + 3];
-      const float* __restrict__ x0 = xbase + static_cast<int64_t>(i) * n;
-      const float* __restrict__ x1 = x0 + n;
-      const float* __restrict__ x2 = x1 + n;
-      const float* __restrict__ x3 = x2 + n;
-#pragma omp simd
-      for (int64_t p = 0; p < n; ++p)
-        yrow[p] += w0 * x0[p] + w1 * x1[p] + w2 * x2[p] + w3 * x3[p];
-    }
-    for (; i < in_g; ++i) {
-      const float wv = wo[i];
-      const float* __restrict__ xrow = xbase + static_cast<int64_t>(i) * n;
-#pragma omp simd
-      for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
-    }
-    if (act) {
-      for (int64_t p = 0; p < n; ++p)
-        yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
+  for (int g = 0; g < groups; ++g) {
+    const float* xg = xT + static_cast<int64_t>(g) * in_g * n32;
+    int o = 0;
+    while (o < out_g) {
+      const int ob = out_g - o >= 8 ? 8 : out_g - o;
+      const int oo = g * out_g + o;
+      gemm_rows_dispatch(ob, xg, n32, w + static_cast<int64_t>(oo) * in_g,
+                         in_g, b ? b + oo : nullptr, acc, act,
+                         yT + static_cast<int64_t>(oo) * n32);
+      o += ob;
     }
   }
 }
 
-// Same, but accumulating ONTO an already-initialized yT (bias/base included
-// by the caller) with the LReLU applied afterwards.
-inline void grouped_gemm_acc_lrelu_T(const float* __restrict__ xT,
-                                     int in_total,
-                                     const float* __restrict__ w,
-                                     int out_total, int groups, bool act,
-                                     int64_t n, float* __restrict__ yT) {
-  const int in_g = in_total / groups;
-  const int out_g = out_total / groups;
-  for (int o = 0; o < out_total; ++o) {
-    const int g = o / out_g;
-    const float* wo = w + static_cast<int64_t>(o) * in_g;
-    float* yrow = yT + static_cast<int64_t>(o) * n;
-    const float* xbase = xT + static_cast<int64_t>(g) * in_g * n;
-    int i = 0;
-    for (; i + 4 <= in_g; i += 4) {
-      const float w0 = wo[i], w1 = wo[i + 1], w2 = wo[i + 2], w3 = wo[i + 3];
-      const float* __restrict__ x0 = xbase + static_cast<int64_t>(i) * n;
-      const float* __restrict__ x1 = x0 + n;
-      const float* __restrict__ x2 = x1 + n;
-      const float* __restrict__ x3 = x2 + n;
-#pragma omp simd
-      for (int64_t p = 0; p < n; ++p)
-        yrow[p] += w0 * x0[p] + w1 * x1[p] + w2 * x2[p] + w3 * x3[p];
-    }
-    for (; i < in_g; ++i) {
-      const float wv = wo[i];
-      const float* __restrict__ xrow = xbase + static_cast<int64_t>(i) * n;
-#pragma omp simd
-      for (int64_t p = 0; p < n; ++p) yrow[p] += wv * xrow[p];
-    }
-    if (act) {
-      for (int64_t p = 0; p < n; ++p)
-        yrow[p] = yrow[p] < 0.0f ? yrow[p] * kLReLU : yrow[p];
-    }
-  }
-}
-
-// Level-path center evaluation, shared by the per-diagonal entry point and
-// the fully-native plane walk below. The masked 5x5 csc conv reads its 12
-// causal taps (rows 0,1 full; row 2 cols 0,1) either from gathered patches
-// or straight from the padded plane; the cgp 1x1 stack then runs batched
-// over the diagonal with centers as the unit-stride SIMD axis.
+// ---------------------------------------------------------------------------
+// Level-path ("level" kind) core: composed cgp-layer-0 + tail, shared by the
+// per-diagonal entry point and the fully-native plane walk so the two are
+// bit-identical by construction.
 
 struct LevelParams {
   const float *csc_w, *csc_b;
@@ -145,31 +154,70 @@ struct LevelParams {
   float scale_bound;
 };
 
-struct LevelBufs {  // reused across diagonals to avoid re-allocation
-  std::vector<float> fusedT, h1T, h2T, h3T, h4T;
+// csc taps: rows 0,1 full; row 2 cols 0,1 (mask-A over 5x5)
+constexpr int kCscTaps[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+
+// Precomposed cgp layer 0 (see header comment). Built in fixed j-ascending
+// order from the raw flax weights on every call — cheap (~0.5 MMAC) and
+// keeps the arithmetic inside fingerprint-covered code.
+struct LevelComposed {
+  std::vector<float> W1p;    // (out1, 81): plc half of cgp layer 0
+  std::vector<float> W1c12;  // (out1, 12): (W1c * Csc) composed taps
+  std::vector<float> b1eff;  // (out1): b1 + W1c * csc_b
 };
 
-// h1T (already built and activated) -> h2..h4 -> idx/mu.
-inline void level_tail_from_h1(LevelBufs* bufs, int64_t n, int32_t so,
-                               const LevelParams& P, int32_t* idx_out,
-                               float* mu_out) {
-  bufs->h2T.resize(static_cast<size_t>(P.out2) * n);
-  bufs->h3T.resize(static_cast<size_t>(P.out3) * n);
-  bufs->h4T.resize(static_cast<size_t>(P.out4) * n);
-  grouped_gemm_lrelu_T(bufs->h1T.data(), P.out1, P.w2, P.b2, P.out2, so,
-                       true, n, bufs->h2T.data());
-  grouped_gemm_lrelu_T(bufs->h2T.data(), P.out2, P.w3, P.b3, P.out3, so,
-                       true, n, bufs->h3T.data());
-  grouped_gemm_lrelu_T(bufs->h3T.data(), P.out3, P.w4, P.b4, P.out4, so,
-                       false, n, bufs->h4T.data());
+inline void build_composed(const LevelParams& P, int so, LevelComposed* C) {
+  const int out1 = P.out1;
+  const int out_g1 = out1 / so;
+  C->W1p.resize(static_cast<size_t>(out1) * 81);
+  C->W1c12.resize(static_cast<size_t>(out1) * 12);
+  C->b1eff.resize(out1);
+  for (int o = 0; o < out1; ++o) {
+    const int g = o / out_g1;
+    const float* w1o = P.w1 + static_cast<int64_t>(o) * 162;
+    for (int i = 0; i < 81; ++i)
+      C->W1p[static_cast<size_t>(o) * 81 + i] = w1o[i];
+    float beff = P.b1[o];
+    for (int j = 0; j < 81; ++j)
+      beff += w1o[81 + j] * P.csc_b[g * 81 + j];
+    C->b1eff[o] = beff;
+    for (int t = 0; t < 12; ++t) {
+      const int pos = kCscTaps[t];
+      float acc = 0.0f;
+      for (int j = 0; j < 81; ++j)
+        acc += w1o[81 + j] * P.csc_w[static_cast<int64_t>(g * 81 + j) * 25
+                                     + pos];
+      C->W1c12[static_cast<size_t>(o) * 12 + t] = acc;
+    }
+  }
+}
+
+struct LevelBufs {  // reused across diagonals to avoid re-allocation
+  std::vector<float> plcT, tapsT, h1T, h2T, h3T, h4T;
+};
+
+// h1T (already built and activated, stride n32) -> h2..h4 -> idx/mu for the
+// first n centers.
+inline void level_tail_from_h1(LevelBufs* bufs, int64_t n, int64_t n32,
+                               int32_t so, const LevelParams& P,
+                               int32_t* idx_out, float* mu_out) {
+  bufs->h2T.resize(static_cast<size_t>(P.out2) * n32);
+  bufs->h3T.resize(static_cast<size_t>(P.out3) * n32);
+  bufs->h4T.resize(static_cast<size_t>(P.out4) * n32);
+  grouped_gemm_v(bufs->h1T.data(), P.out1, P.w2, P.b2, P.out2, so, false,
+                 true, n32, bufs->h2T.data());
+  grouped_gemm_v(bufs->h2T.data(), P.out2, P.w3, P.b3, P.out3, so, false,
+                 true, n32, bufs->h3T.data());
+  grouped_gemm_v(bufs->h3T.data(), P.out3, P.w4, P.b4, P.out4, so, false,
+                 false, n32, bufs->h4T.data());
 
   // h4: per group (sigma, mu) interleaved over groups: channels
   // [2g] = sigma_g, [2g+1] = mu_g (global 0::2 / 1::2 split)
   const float* h4T = bufs->h4T.data();
   for (int64_t p = 0; p < n; ++p) {
     for (int g = 0; g < so; ++g) {
-      float sigma = h4T[static_cast<int64_t>(2 * g) * n + p];
-      const float mu = h4T[static_cast<int64_t>(2 * g + 1) * n + p];
+      float sigma = h4T[static_cast<int64_t>(2 * g) * n32 + p];
+      const float mu = h4T[static_cast<int64_t>(2 * g + 1) * n32 + p];
       if (sigma < P.scale_bound) sigma = P.scale_bound;
       int32_t idx = 0;
       for (int s = 0; s < P.n_scales - 1; ++s) {
@@ -181,19 +229,37 @@ inline void level_tail_from_h1(LevelBufs* bufs, int64_t n, int32_t so,
   }
 }
 
-// fusedT (already built, interleaved plc/csc blocks per group) -> idx/mu.
-inline void level_core(LevelBufs* bufs, int64_t n, int32_t so,
-                       const LevelParams& P, int32_t* idx_out,
-                       float* mu_out) {
-  const int fused_n = 2 * so * 81;
-  bufs->h1T.resize(static_cast<size_t>(P.out1) * n);
-  grouped_gemm_lrelu_T(bufs->fusedT.data(), fused_n, P.w1, P.b1, P.out1, so,
-                       true, n, bufs->h1T.data());
-  level_tail_from_h1(bufs, n, so, P, idx_out, mu_out);
+// Full diagonal evaluation: gather plcT/tapsT via the callbacks, run the
+// composed layer-0 GEMMs and the tail. tap(p, pos, g) must return the
+// causal 5x5 window value at mask position ``pos`` for center p, channel g;
+// plcrow(p) the center's (so*81) parent-context row.
+template <typename TapFn, typename PlcFn>
+inline void level_diag_eval(LevelBufs* bufs, int64_t n, int32_t so,
+                            const LevelParams& P, const LevelComposed& C,
+                            TapFn tap, PlcFn plcrow, int32_t* idx_out,
+                            float* mu_out) {
+  const int wide = so * 81;
+  const int64_t n32 = round_up32(n);
+  bufs->plcT.assign(static_cast<size_t>(wide) * n32, 0.0f);
+  bufs->tapsT.assign(static_cast<size_t>(so) * 12 * n32, 0.0f);
+  bufs->h1T.resize(static_cast<size_t>(P.out1) * n32);
+  float* plcT = bufs->plcT.data();
+  float* tapsT = bufs->tapsT.data();
+  for (int64_t p = 0; p < n; ++p) {
+    const float* plc_p = plcrow(p);
+    for (int i = 0; i < wide; ++i)
+      plcT[static_cast<int64_t>(i) * n32 + p] = plc_p[i];
+    for (int g = 0; g < so; ++g)
+      for (int t = 0; t < 12; ++t)
+        tapsT[(static_cast<int64_t>(g) * 12 + t) * n32 + p] =
+            tap(p, kCscTaps[t], g);
+  }
+  grouped_gemm_v(plcT, wide, C.W1p.data(), C.b1eff.data(), P.out1, so,
+                 false, false, n32, bufs->h1T.data());
+  grouped_gemm_v(tapsT, so * 12, C.W1c12.data(), nullptr, P.out1, so,
+                 true, true, n32, bufs->h1T.data());
+  level_tail_from_h1(bufs, n, n32, so, P, idx_out, mu_out);
 }
-
-// csc taps: rows 0,1 full; row 2 cols 0,1 (mask-A over 5x5)
-constexpr int kCscTaps[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
 
 // ---------------------------------------------------------------------------
 // Blocked planar 3x3 SAME conv for the whole-plane parent-context (plc)
@@ -204,100 +270,67 @@ constexpr int kCscTaps[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
 // never changes the result; FMA contraction is the only arch-dependent
 // freedom and is guarded by the runtime fingerprint below.
 //
-// wpack layout: (ceil(cout/4), 9, cin, 4) — the 4 outputs of a block are
-// interleaved innermost so one (tap, channel) step feeds 4 broadcasts.
+// wpack layout: (ceil(cout/8), 9, cin, 8) — the 8 outputs of a block are
+// interleaved innermost so one (tap, channel) step feeds 8 broadcasts into
+// 16 register-resident v16 accumulators (the previous 4-wide stack-array
+// form was store-bound at ~10 GMAC/s; this form is FMA-bound).
 // out_off = 0 writes unpadded (h, ws) planes; out_off = 1 writes into
 // 1-padded (h+2, ws+2) planes at offset (1,1) so the result can feed the
 // next conv (the caller must re-zero the junk tail columns [w+1, ws+2)
 // when ws > w).
 inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
                            int ws, const float* __restrict__ wpack,
-                           const float* __restrict__ bias, int cout_p4,
+                           const float* __restrict__ bias, int cout_p8,
                            bool act, float* __restrict__ out, int out_off) {
   const int pstr = ws + 2;
-  constexpr int TP = 32;
-  static_assert(TP == 32, "tile width is the planar padding quantum");
   const int64_t in_plane = static_cast<int64_t>(h + 2) * pstr;
   const int out_str = out_off ? pstr : ws;
   const int64_t out_plane =
       static_cast<int64_t>(h + 2 * out_off) * out_str;
   // Row-major over output rows, out-blocks inner: the 3-row input strip a
-  // row touches (~750 KB at 243 channels) stays L2-resident across all
-  // out-blocks instead of restreaming the whole input plane per block
-  // (measured 30.8 -> 66 GFLOP/s on the 243-wide finest-level conv).
+  // row touches (~1.1 MB at 243 channels) stays L2-resident across all
+  // out-blocks instead of restreaming the whole input plane per block.
   for (int r = 0; r < h; ++r) {
-    for (int ob = 0; ob < cout_p4 / 4; ++ob) {
-      const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 4;
-      const float b0 = bias[ob * 4 + 0], b1 = bias[ob * 4 + 1];
-      const float b2 = bias[ob * 4 + 2], b3 = bias[ob * 4 + 3];
-      for (int p0 = 0; p0 < ws; p0 += TP) {
-        float a0[TP], a1[TP], a2[TP], a3[TP];
-        for (int t = 0; t < TP; ++t) {
-          a0[t] = b0; a1[t] = b1; a2[t] = b2; a3[t] = b3;
-        }
+    for (int ob = 0; ob < cout_p8 / 8; ++ob) {
+      const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 8;
+      const float* bb = bias + ob * 8;
+      for (int p0 = 0; p0 < ws; p0 += 32) {
+        v16 a[8][2];
+#pragma GCC unroll 8
+        for (int o = 0; o < 8; ++o) a[o][0] = a[o][1] = v16splat(bb[o]);
         for (int t = 0; t < 9; ++t) {
           const float* inb =
               in + static_cast<int64_t>(r + t / 3) * pstr + p0 + t % 3;
-          const float* wt = wb + static_cast<int64_t>(t) * cin * 4;
+          const float* wt = wb + static_cast<int64_t>(t) * cin * 8;
           for (int c = 0; c < cin; ++c) {
             const float* __restrict__ x = inb + c * in_plane;
-            const float w0 = wt[c * 4 + 0], w1 = wt[c * 4 + 1];
-            const float w2 = wt[c * 4 + 2], w3 = wt[c * 4 + 3];
-#pragma omp simd
-            for (int q = 0; q < TP; ++q) {
-              const float xv = x[q];
-              a0[q] += w0 * xv; a1[q] += w1 * xv;
-              a2[q] += w2 * xv; a3[q] += w3 * xv;
+            const v16 x0 = v16load(x);
+            const v16 x1 = v16load(x + 16);
+            const float* wc = wt + c * 8;
+#pragma GCC unroll 8
+            for (int o = 0; o < 8; ++o) {
+              const v16 wv = v16splat(wc[o]);
+              a[o][0] += wv * x0;
+              a[o][1] += wv * x1;
             }
           }
         }
-        float* ob0 = out + static_cast<int64_t>(ob * 4) * out_plane
+        float* ob0 = out + static_cast<int64_t>(ob * 8) * out_plane
                      + static_cast<int64_t>(r + out_off) * out_str + p0
                      + out_off;
-        float* rows[4] = {ob0, ob0 + out_plane, ob0 + 2 * out_plane,
-                          ob0 + 3 * out_plane};
-        const float* accs[4] = {a0, a1, a2, a3};
-        for (int o = 0; o < 4; ++o) {
-          const float* a = accs[o];
-          float* y = rows[o];
+#pragma GCC unroll 8
+        for (int o = 0; o < 8; ++o) {
+          v16 y0 = a[o][0], y1 = a[o][1];
           if (act) {
-            for (int q = 0; q < TP; ++q)
-              y[q] = a[q] < 0.0f ? a[q] * kLReLU : a[q];
-          } else {
-            for (int q = 0; q < TP; ++q) y[q] = a[q];
+            y0 = v16lrelu(y0);
+            y1 = v16lrelu(y1);
           }
+          float* yp = ob0 + o * out_plane;
+          v16store(yp, y0);
+          v16store(yp + 16, y1);
         }
       }
     }
-  }
-}
-
-// Build fusedT for one diagonal reading csc taps via `tap(p, pos)` and
-// plc rows via `plcrow(p)`; group g rows [g*162, g*162+81) = plc_g,
-// [g*162+81, g*162+162) = csc_g.
-template <typename TapFn, typename PlcFn>
-inline void level_build_fusedT(LevelBufs* bufs, int64_t n, int32_t so,
-                               const LevelParams& P, TapFn tap,
-                               PlcFn plcrow) {
-  const int wide = so * 81;
-  bufs->fusedT.resize(static_cast<size_t>(2 * wide) * n);
-  float* fusedT = bufs->fusedT.data();
-  for (int64_t p = 0; p < n; ++p) {
-    for (int o = 0; o < wide; ++o) {
-      const int g = o / 81;
-      const float* wo = P.csc_w + static_cast<int64_t>(o) * 25;
-      float acc = P.csc_b[o];
-      for (int m = 0; m < 12; ++m) {
-        const int pos = kCscTaps[m];
-        acc += tap(p, pos, g) * wo[pos];
-      }
-      fusedT[(static_cast<int64_t>(g) * 162 + 81 + o % 81) * n + p] = acc;
-    }
-    const float* plc_p = plcrow(p);
-    for (int g = 0; g < so; ++g)
-      for (int i = 0; i < 81; ++i)
-        fusedT[(static_cast<int64_t>(g) * 162 + i) * n + p] =
-            plc_p[g * 81 + i];
   }
 }
 
@@ -305,12 +338,13 @@ inline void level_build_fusedT(LevelBufs* bufs, int64_t n, int32_t so,
 
 extern "C" {
 
-// Evaluate n level-path centers.
+// Evaluate n level-path centers (the per-diagonal entry point; shares
+// level_diag_eval with the plane walk below, so the two are bit-identical).
 //   patches: (n, 5, 5, so) causal windows (future taps may hold garbage —
 //            the mask excludes them)
 //   plc:     (n, so*81) parent context at the pixels
-//   csc_w:   (5, 5, 1, so*81); csc_b: (so*81)
-//   w1..w4 / b1..b4: cgp grouped 1x1 convs, kernel (in_g, out_total)
+//   csc_w:   (so*81, 25) pre-transposed; csc_b: (so*81)
+//   w1..w4 / b1..b4: cgp grouped 1x1 convs, kernel (out_total, in_g)
 //   scale_table: (n_scales) ascending; scale_bound lower bound
 // Outputs: idx (n, so) int32 CDF rows; mu (n, so) float32.
 void ztsep_level_centers(
@@ -326,14 +360,16 @@ void ztsep_level_centers(
   const LevelParams P{csc_w, csc_b, w1, b1, w2, b2, w3, b3, w4, b4,
                       out1, out2, out3, out4,
                       scale_table, n_scales, scale_bound};
+  LevelComposed C;
+  build_composed(P, so, &C);
   LevelBufs bufs;
-  level_build_fusedT(
-      &bufs, n, so, P,
+  level_diag_eval(
+      &bufs, n, so, P, C,
       [&](int64_t p, int pos, int g) {
         return patches[(p * 25 + pos) * so + g];
       },
-      [&](int64_t p) { return plc + p * static_cast<int64_t>(so) * 81; });
-  level_core(&bufs, n, so, P, idx_out, mu_out);
+      [&](int64_t p) { return plc + p * static_cast<int64_t>(so) * 81; },
+      idx_out, mu_out);
 }
 
 // Whole-plane parent-context (plc) pass on the HOST: nearest x2 upsample of
@@ -344,7 +380,7 @@ void ztsep_level_centers(
 // order and (b) on tunneled TPUs read back a (h, w, 81*so) float plane
 // (~95 MB at the finest Kodak level) per level per direction.
 //   parent: (h2, w2, so) HWC;  out: (h, w, wide) HWC, h=2*h2, w=2*w2.
-//   w1pack: (ceil(wide/4), 9, so, 4); w2pack: (ceil(wide/4), 9, wide, 4)
+//   w1pack: (ceil(wide/8), 9, so, 8); w2pack: (ceil(wide/8), 9, wide, 8)
 //   (biases zero-padded to the same rounded widths).
 void ztsep_plc_plane(
     const float* parent, int32_t h2, int32_t w2, int32_t so,
@@ -354,11 +390,30 @@ void ztsep_plc_plane(
   const int h = 2 * h2, w = 2 * w2;
   const int ws = (w + 31) & ~31;
   const int pstr = ws + 2;
-  const int wide_p4 = (wide + 3) & ~3;
+  const int wide_p8 = (wide + 7) & ~7;
   const int64_t plane_pad = static_cast<int64_t>(h + 2) * pstr;
 
+  // Persistent scratch (~200 MB at the finest Kodak level): the pass runs
+  // ~9x per image per plane, and glibc returns >128 KB frees to the kernel,
+  // so per-call vectors would pay mmap+page-fault+zero churn every call.
+  // Zero-guarantees on reuse: xpad borders are never written (stay zero
+  // once zeroed for a given geometry); a1's pad borders likewise, and its
+  // junk tail columns are explicitly re-zeroed below; a2 is fully
+  // overwritten. Re-zero only when the geometry changes.
+  thread_local std::vector<float> xpad, a1, a2;
+  thread_local int64_t last_geom = -1;
+  const int64_t geom = (static_cast<int64_t>(h) << 40)
+                       | (static_cast<int64_t>(ws) << 16) | so;
+  const size_t xpad_n = static_cast<size_t>(so) * plane_pad;
+  const size_t a1_n = static_cast<size_t>(wide_p8) * plane_pad;
+  if (geom != last_geom || xpad.size() < xpad_n || a1.size() < a1_n) {
+    xpad.assign(xpad_n, 0.0f);
+    a1.assign(a1_n, 0.0f);
+    last_geom = geom;
+  }
+  a2.resize(static_cast<size_t>(wide_p8) * h * ws);
+
   // upsampled input, planar padded
-  std::vector<float> xpad(static_cast<size_t>(so) * plane_pad, 0.0f);
   for (int c = 0; c < so; ++c) {
     float* xc = xpad.data() + c * plane_pad;
     for (int r = 0; r < h; ++r) {
@@ -369,11 +424,10 @@ void ztsep_plc_plane(
   }
 
   // conv1 -> padded planar (junk tail columns re-zeroed), LReLU
-  std::vector<float> a1(static_cast<size_t>(wide_p4) * plane_pad, 0.0f);
-  conv3x3_planar(xpad.data(), so, h, ws, w1pack, b1, wide_p4, true,
+  conv3x3_planar(xpad.data(), so, h, ws, w1pack, b1, wide_p8, true,
                  a1.data(), 1);
   if (ws > w) {
-    for (int c = 0; c < wide_p4; ++c) {
+    for (int c = 0; c < wide_p8; ++c) {
       float* ac = a1.data() + c * plane_pad;
       for (int r = 1; r <= h; ++r) {
         float* row = ac + static_cast<int64_t>(r) * pstr;
@@ -382,18 +436,30 @@ void ztsep_plc_plane(
     }
   }
 
-  // conv2 -> unpadded planar, then planar -> HWC
-  std::vector<float> a2(static_cast<size_t>(wide_p4) * h * ws);
-  conv3x3_planar(a1.data(), wide, h, ws, w2pack, b2, wide_p4, false,
+  // conv2 -> unpadded planar, then blocked planar -> HWC transpose
+  // (16x16 tiles through a local buffer: both the strided reads and the
+  // strided writes touch each cache line once instead of once per element)
+  conv3x3_planar(a1.data(), wide, h, ws, w2pack, b2, wide_p8, false,
                  a2.data(), 0);
   const int64_t oplane = static_cast<int64_t>(h) * ws;
+  float tile[16][16];
   for (int r = 0; r < h; ++r) {
-    for (int o = 0; o < wide; ++o) {
-      const float* src = a2.data() + o * oplane
-                         + static_cast<int64_t>(r) * ws;
-      float* dst = out + (static_cast<int64_t>(r) * w) * wide + o;
-      for (int p = 0; p < w; ++p) dst[static_cast<int64_t>(p) * wide] =
-          src[p];
+    const float* a2r = a2.data() + static_cast<int64_t>(r) * ws;
+    float* outr = out + static_cast<int64_t>(r) * w * wide;
+    for (int p0 = 0; p0 < w; p0 += 16) {
+      const int pn = w - p0 < 16 ? w - p0 : 16;
+      for (int o0 = 0; o0 < wide; o0 += 16) {
+        const int on = wide - o0 < 16 ? wide - o0 : 16;
+        for (int o = 0; o < on; ++o) {
+          const float* src = a2r + static_cast<int64_t>(o0 + o) * oplane
+                             + p0;
+          for (int p = 0; p < pn; ++p) tile[o][p] = src[p];
+        }
+        for (int p = 0; p < pn; ++p) {
+          float* dst = outr + static_cast<int64_t>(p0 + p) * wide + o0;
+          for (int o = 0; o < on; ++o) dst[o] = tile[o][p];
+        }
+      }
     }
   }
 }
@@ -539,8 +605,6 @@ void ztsep_pixelcnn_step(
 // (rans_core.h — bit-compatible with librans.so by construction) and
 // fills `padded`.
 
-#include <cmath>
-
 #include "rans_core.h"
 
 extern "C" {
@@ -563,33 +627,15 @@ void ztsep_level_walk(
   const LevelParams P{csc_w, csc_b, w1, b1, w2, b2, w3, b3, w4, b4,
                       out1, out2, out3, out4,
                       scale_table, n_scales, scale_bound};
+  LevelComposed C;
+  build_composed(P, so, &C);
   const int wpad = w + 4;
   const int64_t wide = static_cast<int64_t>(so) * 81;
 
   ranscore::RansDecState dec;
   if (mode == 1) dec.init(stream, nbytes);
 
-  // Split cgp layer 1 around the fused [plc_g; csc_g] input blocks:
-  // h1 = lrelu(W1p·plc + W1c·csc + b1). The plc half is evaluated straight
-  // from the precomputed plc rows (one GEMV per center) instead of
-  // materializing fusedT; W1pT is transposed (group, i, out_g) so the
-  // per-center accumulation vectorizes over the 162 outputs with a fixed
-  // i-ascending order.
-  const int out_g1 = out1 / so;
-  std::vector<float> W1pT(static_cast<size_t>(so) * 81 * out_g1);
-  std::vector<float> W1c(static_cast<size_t>(out1) * 81);
-  for (int o = 0; o < out1; ++o) {
-    const int g = o / out_g1;
-    for (int i = 0; i < 81; ++i) {
-      W1pT[(static_cast<size_t>(g) * 81 + i) * out_g1 + (o - g * out_g1)] =
-          w1[static_cast<int64_t>(o) * 162 + i];
-      W1c[static_cast<size_t>(o) * 81 + i] =
-          w1[static_cast<int64_t>(o) * 162 + 81 + i];
-    }
-  }
-
   LevelBufs bufs;
-  std::vector<float> cscT, acc1(out1);
   std::vector<int32_t> idx_buf;
   std::vector<float> mu_buf;
   std::vector<int32_t> rr_buf, cc_buf;
@@ -611,50 +657,19 @@ void ztsep_level_walk(
     idx_buf.resize(n * so);
     mu_buf.resize(n * so);
 
-    // csc: masked 5x5 taps straight off the padded plane, transposed
-    // (patch top-left at the unpadded coordinate; pad=2 -> center +2,+2)
-    cscT.resize(static_cast<size_t>(wide) * n);
-    for (int64_t p = 0; p < n; ++p) {
-      const int64_t r0 = rr_buf[p], c0 = cc_buf[p];
-      for (int o = 0; o < wide; ++o) {
-        const int g = o / 81;
-        const float* wo = P.csc_w + static_cast<int64_t>(o) * 25;
-        float acc = P.csc_b[o];
-        for (int m = 0; m < 12; ++m) {
-          const int pos = kCscTaps[m];
-          acc += padded[((r0 + pos / 5) * wpad + c0 + pos % 5) * so + g]
-                 * wo[pos];
-        }
-        cscT[static_cast<size_t>(o) * n + p] = acc;
-      }
-    }
-    // h1 = b1 + W1p·plc (per-center GEMV), scattered into h1T columns
-    bufs.h1T.resize(static_cast<size_t>(out1) * n);
-    for (int64_t p = 0; p < n; ++p) {
-      const float* plc_p =
-          plc + (static_cast<int64_t>(rr_buf[p]) * w + cc_buf[p]) * wide;
-      for (int o = 0; o < out1; ++o) acc1[o] = P.b1[o];
-      for (int g = 0; g < so; ++g) {
-        float* ag = acc1.data() + static_cast<size_t>(g) * out_g1;
-        const float* wg = W1pT.data()
-                          + static_cast<size_t>(g) * 81 * out_g1;
-        for (int i = 0; i < 81; ++i) {
-          const float v = plc_p[g * 81 + i];
-          const float* __restrict__ wrow = wg + static_cast<size_t>(i)
-                                           * out_g1;
-#pragma omp simd
-          for (int o = 0; o < out_g1; ++o) ag[o] += wrow[o] * v;
-        }
-      }
-      float* h1 = bufs.h1T.data();
-      for (int o = 0; o < out1; ++o)
-        h1[static_cast<size_t>(o) * n + p] = acc1[o];
-    }
-    // += W1c·csc, LReLU, then the shared cgp tail
-    grouped_gemm_acc_lrelu_T(cscT.data(), static_cast<int>(wide),
-                             W1c.data(), out1, so, true, n,
-                             bufs.h1T.data());
-    level_tail_from_h1(&bufs, n, so, P, idx_buf.data(), mu_buf.data());
+    level_diag_eval(
+        &bufs, n, so, P, C,
+        // masked 5x5 taps straight off the padded plane (patch top-left at
+        // the unpadded coordinate; pad=2 -> center +2,+2)
+        [&](int64_t p, int pos, int g) {
+          const int64_t r0 = rr_buf[p], c0 = cc_buf[p];
+          return padded[((r0 + pos / 5) * wpad + c0 + pos % 5) * so + g];
+        },
+        [&](int64_t p) {
+          return plc + (static_cast<int64_t>(rr_buf[p]) * w + cc_buf[p])
+                 * wide;
+        },
+        idx_buf.data(), mu_buf.data());
 
     for (int64_t p = 0; p < n; ++p) {
       const int64_t r = rr_buf[p], c = cc_buf[p];
@@ -688,10 +703,12 @@ void ztsep_level_walk(
 // therefore bit-compatible streams; the decoder compares fingerprints
 // (PlaneStreams.meta["ctx_fp"]) and refuses mismatches loudly instead of
 // corrupting planes silently. The free variables this captures: FMA
-// contraction and `omp simd reduction` reassociation under -march=native
-// (vector-width-dependent), both exercised below via the plc plane pass,
-// the grouped gemms, the per-center level evaluator, and the incremental
-// PixelCNN step.
+// contraction under -march=native plus the `omp simd reduction`
+// reassociation in the PixelCNN step (vector-width-dependent), exercised
+// below via the plc plane pass, the grouped GEMMs, the composed per-center
+// level evaluator, and the incremental PixelCNN step. The v16 kernels'
+// lane semantics are width-independent by construction, so their only
+// contribution is FMA contraction.
 uint64_t ztsep_ctx_fingerprint() {
   uint32_t s = 0x12345u;
   auto next = [&s]() {
@@ -717,32 +734,37 @@ uint64_t ztsep_ctx_fingerprint() {
   // 1) whole-plane plc pass (conv3x3_planar, both activations)
   {
     const int so = 3, h2 = 4, w2 = 8, wide = 12;
-    std::vector<float> parent(h2 * w2 * so), w1((wide + 3) / 4 * 4 * 9 * so),
-        b1((wide + 3) & ~3), w2p((wide + 3) / 4 * 4 * 9 * wide),
-        b2((wide + 3) & ~3), out(2 * h2 * 2 * w2 * wide);
+    const int wide_p8 = (wide + 7) & ~7;
+    std::vector<float> parent(h2 * w2 * so),
+        w1(static_cast<size_t>(wide_p8) * 9 * so), b1(wide_p8),
+        w2p(static_cast<size_t>(wide_p8) * 9 * wide), b2(wide_p8),
+        out(2 * h2 * 2 * w2 * wide);
     for (auto* v : {&parent, &w1, &b1, &w2p, &b2}) fill(*v);
     ztsep_plc_plane(parent.data(), h2, w2, so, w1.data(), b1.data(), wide,
                     w2p.data(), b2.data(), out.data());
     mix(out);
   }
 
-  // 2) diagonal-batched grouped gemms (plain and accumulate forms)
+  // 2) diagonal-batched grouped GEMMs (init and accumulate forms, with an
+  // output-group width that exercises the 8/remainder blocking)
   {
-    const int in_t = 12, out_t = 24, groups = 3;
-    std::vector<float> xT(in_t * 16), wg(out_t * (in_t / groups)), bg(out_t),
-        yT(out_t * 16), y2T(out_t * 16);
+    const int in_t = 12, out_t = 30, groups = 3;
+    const int64_t n32 = 32;
+    std::vector<float> xT(in_t * n32), wg(out_t * (in_t / groups)),
+        bg(out_t), yT(out_t * n32), y2T(out_t * n32);
     for (auto* v : {&xT, &wg, &bg}) fill(*v);
-    grouped_gemm_lrelu_T(xT.data(), in_t, wg.data(), bg.data(), out_t,
-                         groups, true, 16, yT.data());
-    for (size_t i = 0; i < y2T.size(); ++i) y2T[i] = bg[i / 16];
-    grouped_gemm_acc_lrelu_T(xT.data(), in_t, wg.data(), out_t, groups, true,
-                             16, y2T.data());
+    grouped_gemm_v(xT.data(), in_t, wg.data(), bg.data(), out_t, groups,
+                   false, true, n32, yT.data());
+    for (size_t i = 0; i < y2T.size(); ++i) y2T[i] = bg[i / n32];
+    grouped_gemm_v(xT.data(), in_t, wg.data(), nullptr, out_t, groups,
+                   true, true, n32, y2T.data());
     mix(yT);
     mix(y2T);
   }
 
-  // 3) per-center level evaluator (csc taps + cgp tail). Cgp widths follow
-  // the real ratio constraints: in1 = 2*81 per group, out4 = 2*so.
+  // 3) per-center level evaluator (composed csc taps + cgp tail). Cgp
+  // widths follow the real ratio constraints: in1 = 2*81 per group,
+  // out4 = 2*so.
   {
     const int so = 3, n = 5;
     const int out1 = 18, out2 = 12, out3 = 9, out4 = 2 * so;

@@ -40,15 +40,31 @@ def get_lib() -> ctypes.CDLL:
             # that would make streams binary-specific. The remaining
             # arch-level freedom (FMA contraction under -march=native) is
             # captured by ctx_fingerprint() and checked at decode.
+            # -mprefer-vector-width=512: GCC defaults to 256-bit vectors on
+            # AVX-512 targets (frequency-license caution); the coding
+            # kernels are compute-bound FMA loops where zmm is ~2x. Vector
+            # width is result-identical for the lane-independent planar
+            # kernels and fingerprint-guarded for the simd reductions.
             cmd = ["g++", "-O3", "-march=native",
+                   "-mprefer-vector-width=512",
                    "-funroll-loops", "-shared", "-fPIC",
                    "-std=c++17", "-fopenmp", "-o", _LIB, _SRC]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)
             except subprocess.CalledProcessError:
-                # toolchains without libgomp: single-threaded build
-                cmd.remove("-fopenmp")
-                subprocess.run(cmd, check=True, capture_output=True)
+                # toolchains without libgomp / non-x86 targets: drop the
+                # optional flags one by one
+                for flag in ("-fopenmp", "-mprefer-vector-width=512"):
+                    if flag in cmd:
+                        cmd.remove(flag)
+                        try:
+                            subprocess.run(cmd, check=True,
+                                           capture_output=True)
+                            break
+                        except subprocess.CalledProcessError:
+                            continue
+                else:
+                    subprocess.run(cmd, check=True, capture_output=True)
         _lib = ctypes.CDLL(_LIB)
         return _lib
 
@@ -79,20 +95,20 @@ def ctx_fingerprint() -> str:
 
 
 def _pack_conv3x3(kernel: np.ndarray) -> np.ndarray:
-    """flax (3,3,cin,cout) -> blocked (ceil(cout/4), 9, cin, 4)."""
+    """flax (3,3,cin,cout) -> blocked (ceil(cout/8), 9, cin, 8)."""
     kh, kw, cin, cout = kernel.shape
     assert (kh, kw) == (3, 3)
-    cp = (cout + 3) & ~3
+    cp = (cout + 7) & ~7
     k = np.zeros((9, cin, cp), np.float32)
     k[:, :, :cout] = np.asarray(kernel, np.float32).reshape(9, cin, cout)
-    # (9, cin, cp) -> (cp/4, 9, cin, 4)
+    # (9, cin, cp) -> (cp/8, 9, cin, 8)
     return np.ascontiguousarray(
-        k.reshape(9, cin, cp // 4, 4).transpose(2, 0, 1, 3))
+        k.reshape(9, cin, cp // 8, 8).transpose(2, 0, 1, 3))
 
 
 def _pad_bias(bias: np.ndarray) -> np.ndarray:
     b = np.asarray(bias, np.float32)
-    cp = (b.shape[0] + 3) & ~3
+    cp = (b.shape[0] + 7) & ~7
     out = np.zeros(cp, np.float32)
     out[:b.shape[0]] = b
     return out

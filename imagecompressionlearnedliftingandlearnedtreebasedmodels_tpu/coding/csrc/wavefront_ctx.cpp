@@ -30,6 +30,8 @@
 #include <cstring>
 #include <vector>
 
+#include "rans_core.h"
+
 namespace {
 
 constexpr float kLReLU = 0.01f;
@@ -486,48 +488,177 @@ void ztsep_plc_plane(
 
 namespace {
 
-struct LayerSpec {
-  const float* w;  // (out, 9, in_g)
-  const float* b;  // (out)
-  int out_ch;
-  int in_ch;
+// Vectorized layer evaluation with OUTPUTS as the SIMD axis. Weights are
+// repacked (by the Python binding) to (groups, ntaps, in_g, out_g16) with
+// the per-group output lanes padded to 16 and the causal taps compacted
+// (mask A: (-1,-1),(-1,0),(-1,1),(0,-1); mask B adds the center). Each
+// output element accumulates bias-then-(tap-major, input-ascending) — the
+// same fixed order as the scalar form, minus the `omp simd reduction`
+// reassociation (so this form's bits are vector-width independent).
+struct LayerSpecV {
+  const float* wT;  // (groups, ntaps, in_g, out_g16)
+  const float* b;   // (groups, out_g16), padding lanes zero
+  int out_ch;       // true total outputs
+  int in_ch;        // true total inputs
+  int out_g16;      // padded per-group outputs
 };
 
-// Evaluate layer l at the n wavefront pixels. ``in`` is the previous
-// activation plane (or the decoded plane for l=0), row-major with
-// ``in_pad`` zero padding and ``in_ch`` contiguous channels per pixel;
-// ``out`` is this layer's plane (1-pixel padding) or, for the last layer,
-// a dense (n, out_ch) buffer.
-inline void pixelcnn_layer_at(const float* __restrict__ in, int in_pad,
-                              int w_img, const LayerSpec& L, int groups,
-                              bool mask_a, bool act,
-                              const int64_t* rows, const int64_t* cols,
-                              int64_t n, float* __restrict__ out,
-                              int out_pad, bool out_plane, int w_out) {
-  const int in_g = L.in_ch / groups;
+constexpr int kMaskTapR[5] = {-1, -1, -1, 0, 0};
+constexpr int kMaskTapC[5] = {-1, 0, 1, -1, 0};
+
+template <int NACC>
+inline void pixelcnn_center_vec(const float* __restrict__ in,
+                                int64_t in_stride, int in_ch, int64_t r,
+                                int64_t c, int in_pad, const LayerSpecV& L,
+                                int groups, int ntaps, bool act,
+                                float* __restrict__ yp) {
+  const int in_g = in_ch / groups;
   const int out_g = L.out_ch / groups;
+  for (int g = 0; g < groups; ++g) {
+    v16 acc[NACC];
+#pragma GCC unroll 8
+    for (int k = 0; k < NACC; ++k)
+      acc[k] = v16load(L.b + (static_cast<int64_t>(g) * L.out_g16) + k * 16);
+    const float* wg = L.wT + static_cast<int64_t>(g) * ntaps * in_g
+                      * L.out_g16;
+    for (int t = 0; t < ntaps; ++t) {
+      const int64_t rr = r + kMaskTapR[t] + in_pad;
+      const int64_t cc = c + kMaskTapC[t] + in_pad;
+      const float* __restrict__ x = in + rr * in_stride + cc * in_ch
+                                    + g * in_g;
+      const float* wt = wg + static_cast<int64_t>(t) * in_g * L.out_g16;
+      for (int i = 0; i < in_g; ++i) {
+        const v16 xv = v16splat(x[i]);
+        const float* wr = wt + static_cast<int64_t>(i) * L.out_g16;
+#pragma GCC unroll 8
+        for (int k = 0; k < NACC; ++k)
+          acc[k] += xv * v16load(wr + k * 16);
+      }
+    }
+    float* yg = yp + g * out_g;
+    int o = 0;
+    for (int k = 0; k < NACC; ++k) {
+      v16 a = act ? v16lrelu(acc[k]) : acc[k];
+      if (o + 16 <= out_g) {
+        v16store(yg + o, a);  // may overlap next group: see ordering note
+        o += 16;
+      } else {
+        for (int l = 0; l < 16 && o < out_g; ++l, ++o) yg[o] = a[l];
+        break;
+      }
+    }
+  }
+}
+
+// NOTE on the full-v16 store above: when out_g is not a multiple of 16 the
+// LAST chunk is stored lane-by-lane, so a group's stores never touch the
+// next group's channels. Full chunks only cover o+16 <= out_g.
+
+inline void pixelcnn_layer_at_vec(const float* __restrict__ in, int in_pad,
+                                  int w_img, const LayerSpecV& L, int groups,
+                                  bool mask_a, bool act,
+                                  const int64_t* rows, const int64_t* cols,
+                                  int64_t n, float* __restrict__ out,
+                                  int out_pad, bool out_plane, int w_out) {
   const int ntaps = mask_a ? 4 : 5;
-  const int64_t in_stride = static_cast<int64_t>(w_img + 2 * in_pad) * L.in_ch;
+  const int nacc = L.out_g16 / 16;
+  const int64_t in_stride =
+      static_cast<int64_t>(w_img + 2 * in_pad) * L.in_ch;
   for (int64_t p = 0; p < n; ++p) {
     const int64_t r = rows[p], c = cols[p];
     float* yp = out_plane
         ? out + ((r + out_pad) * (w_out + 2 * out_pad) + (c + out_pad))
                     * L.out_ch
         : out + p * L.out_ch;
-    for (int o = 0; o < L.out_ch; ++o) {
-      const int g = o / out_g;
-      const float* wo = L.w + static_cast<int64_t>(o) * 9 * in_g;
-      float acc = L.b[o];
-      for (int t = 0; t < ntaps; ++t) {
-        const int64_t rr = r + t / 3 - 1 + in_pad;
-        const int64_t cc = c + t % 3 - 1 + in_pad;
-        const float* __restrict__ x =
-            in + rr * in_stride + cc * L.in_ch + g * in_g;
-        const float* __restrict__ wt = wo + t * in_g;
-#pragma omp simd reduction(+ : acc)
-        for (int i = 0; i < in_g; ++i) acc += wt[i] * x[i];
+    switch (nacc) {
+      case 1:
+        pixelcnn_center_vec<1>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      case 2:
+        pixelcnn_center_vec<2>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      case 3:
+        pixelcnn_center_vec<3>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      case 4:
+        pixelcnn_center_vec<4>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      case 5:
+        pixelcnn_center_vec<5>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      case 6:
+        pixelcnn_center_vec<6>(in, in_stride, L.in_ch, r, c, in_pad, L,
+                               groups, ntaps, act, yp);
+        break;
+      default:
+        // out_g16 > 96 never occurs (out_g <= 81 in every config); fall
+        // back to a generic loop to stay correct if it ever does
+        for (int g = 0; g < groups; ++g) {
+          const int in_g = L.in_ch / groups;
+          const int out_g = L.out_ch / groups;
+          const float* wg = L.wT + static_cast<int64_t>(g) * ntaps * in_g
+                            * L.out_g16;
+          std::vector<float> accv(L.out_g16);
+          for (int k = 0; k < L.out_g16; ++k)
+            accv[k] = L.b[static_cast<int64_t>(g) * L.out_g16 + k];
+          for (int t = 0; t < ntaps; ++t) {
+            const int64_t rr = r + kMaskTapR[t] + in_pad;
+            const int64_t cc = c + kMaskTapC[t] + in_pad;
+            const float* x = in + rr * in_stride + cc * L.in_ch + g * in_g;
+            const float* wt = wg + static_cast<int64_t>(t) * in_g
+                              * L.out_g16;
+            for (int i = 0; i < in_g; ++i)
+              for (int k = 0; k < L.out_g16; ++k)
+                accv[k] += x[i] * wt[static_cast<int64_t>(i) * L.out_g16
+                                     + k];
+          }
+          for (int o = 0; o < out_g; ++o) {
+            float a = accv[o];
+            yp[g * out_g + o] = (act && a < 0.0f) ? a * kLReLU : a;
+          }
+        }
+    }
+  }
+}
+
+// Run the five layers at the n wavefront pixels, advancing the persistent
+// activation planes and filling the (n, o4) head buffer, then turn the
+// head's per-group (sigma, mu) pairs into CDF rows + mu.
+inline void pixelcnn_diag_eval(const float* plane, int32_t w, int32_t pad,
+                               int32_t ic, const LayerSpecV specs[5],
+                               float* acts[4], const int64_t* rows,
+                               const int64_t* cols, int64_t n,
+                               const float* scale_table, int32_t n_scales,
+                               float scale_bound, std::vector<float>* head,
+                               int32_t* idx_out, float* mu_out) {
+  pixelcnn_layer_at_vec(plane, pad, w, specs[0], ic, /*mask_a=*/true,
+                        /*act=*/true, rows, cols, n, acts[0], 1, true, w);
+  for (int l = 1; l < 4; ++l) {
+    pixelcnn_layer_at_vec(acts[l - 1], 1, w, specs[l], ic, false, true,
+                          rows, cols, n, acts[l], 1, true, w);
+  }
+  const int o4 = specs[4].out_ch;
+  head->resize(static_cast<size_t>(n) * o4);
+  pixelcnn_layer_at_vec(acts[3], 1, w, specs[4], ic, false, false, rows,
+                        cols, n, head->data(), 0, false, w);
+
+  for (int64_t p = 0; p < n; ++p) {
+    const float* hp = head->data() + p * o4;
+    for (int g = 0; g < ic; ++g) {
+      float sigma = hp[2 * g];
+      const float mu = hp[2 * g + 1];
+      if (sigma < scale_bound) sigma = scale_bound;
+      int32_t idx = 0;
+      for (int s = 0; s < n_scales - 1; ++s) {
+        if (sigma > scale_table[s]) ++idx;
       }
-      yp[o] = (act && acc < 0.0f) ? acc * kLReLU : acc;
+      idx_out[p * ic + g] = idx;
+      mu_out[p * ic + g] = mu;
     }
   }
 }
@@ -541,46 +672,108 @@ extern "C" {
 // four persistent activation planes a0..a3 (each (h+2)x(w+2)xout_l,
 // 1-pixel padding, zero-initialized by the caller before the walk) at those
 // pixels and emit the centers' CDF rows + mu.
-// Weights wl (out_l, 9, in_l/ic); outs (81ic, 81ic, 27ic, 9ic, 2ic).
+// Weights wl repacked (ic, ntaps_l, in_l/ic, og16_l) with per-group output
+// lanes padded to 16 (see LayerSpecV); biases (ic, og16_l), padding zero.
+// True outs (81ic, 81ic, 27ic, 9ic, 2ic).
 void ztsep_pixelcnn_step(
     const float* plane, int32_t h, int32_t w, int32_t pad, int32_t ic,
     const int64_t* rows, const int64_t* cols, int64_t n,
     float* a0, float* a1, float* a2, float* a3,
-    const float* w0, const float* b0, int32_t o0,
-    const float* w1, const float* b1, int32_t o1,
-    const float* w2, const float* b2, int32_t o2,
-    const float* w3, const float* b3, int32_t o3,
-    const float* w4, const float* b4, int32_t o4,
+    const float* w0, const float* b0, int32_t o0, int32_t og0,
+    const float* w1, const float* b1, int32_t o1, int32_t og1,
+    const float* w2, const float* b2, int32_t o2, int32_t og2,
+    const float* w3, const float* b3, int32_t o3, int32_t og3,
+    const float* w4, const float* b4, int32_t o4, int32_t og4,
     const float* scale_table, int32_t n_scales, float scale_bound,
     int32_t* idx_out, float* mu_out) {
   (void)h;
-  const LayerSpec specs[5] = {
-      {w0, b0, o0, ic}, {w1, b1, o1, o0}, {w2, b2, o2, o1},
-      {w3, b3, o3, o2}, {w4, b4, o4, o3}};
+  const LayerSpecV specs[5] = {
+      {w0, b0, o0, ic, og0}, {w1, b1, o1, o0, og1}, {w2, b2, o2, o1, og2},
+      {w3, b3, o3, o2, og3}, {w4, b4, o4, o3, og4}};
   float* acts[4] = {a0, a1, a2, a3};
+  std::vector<float> head;
+  pixelcnn_diag_eval(plane, w, pad, ic, specs, acts, rows, cols, n,
+                     scale_table, n_scales, scale_bound, &head, idx_out,
+                     mu_out);
+}
 
-  pixelcnn_layer_at(plane, pad, w, specs[0], ic, /*mask_a=*/true,
-                    /*act=*/true, rows, cols, n, acts[0], 1, true, w);
-  for (int l = 1; l < 4; ++l) {
-    pixelcnn_layer_at(acts[l - 1], 1, w, specs[l], ic, false, true, rows,
-                      cols, n, acts[l], 1, true, w);
+// Fully-native wavefront walk of one xe / coarsest-details plane: the
+// anti-diagonal loop (a = 2 for the 3x3 masked stacks), incremental
+// five-layer evaluation, rANS coding and decoded-value writeback in ONE
+// C++ call — mirrors ztsep_level_walk for the PixelCNN planes, replacing
+// ~110 Python step+decode_stream round trips per Kodak-size plane.
+// Encode (mode 0): x_true given, emits symbols/indexes diagonal-major.
+// Decode (mode 1): consumes `stream` via the inline rANS decoder.
+void ztsep_pixelcnn_walk(
+    int32_t mode, int32_t h, int32_t w, int32_t ic, int32_t pad,
+    float* padded,             // (h+2*pad, w+2*pad, ic) zero-init
+    const float* x_true,       // (h, w, ic) encode mode, else null
+    const float* w0, const float* b0, int32_t o0, int32_t og0,
+    const float* w1, const float* b1, int32_t o1, int32_t og1,
+    const float* w2, const float* b2, int32_t o2, int32_t og2,
+    const float* w3, const float* b3, int32_t o3, int32_t og3,
+    const float* w4, const float* b4, int32_t o4, int32_t og4,
+    const float* scale_table, int32_t n_scales, float scale_bound,
+    const uint32_t* cdfs, int32_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets,
+    const uint8_t* stream, int64_t nbytes,
+    int32_t* sym_out, int32_t* idx_out) {
+  const LayerSpecV specs[5] = {
+      {w0, b0, o0, ic, og0}, {w1, b1, o1, o0, og1}, {w2, b2, o2, o1, og2},
+      {w3, b3, o3, o2, og3}, {w4, b4, o4, o3, og4}};
+  const int wpad2 = w + 2 * pad;
+  std::vector<float> av[4];
+  float* acts[4];
+  for (int l = 0; l < 4; ++l) {
+    av[l].assign(static_cast<size_t>(h + 2) * (w + 2) * specs[l].out_ch,
+                 0.0f);
+    acts[l] = av[l].data();
   }
-  std::vector<float> head(static_cast<size_t>(n) * o4);
-  pixelcnn_layer_at(acts[3], 1, w, specs[4], ic, false, false, rows, cols,
-                    n, head.data(), 0, false, w);
+  ranscore::RansDecState dec;
+  if (mode == 1) dec.init(stream, nbytes);
 
-  for (int64_t p = 0; p < n; ++p) {
-    const float* hp = head.data() + p * o4;
-    for (int g = 0; g < ic; ++g) {
-      float sigma = hp[2 * g];
-      const float mu = hp[2 * g + 1];
-      if (sigma < scale_bound) sigma = scale_bound;
-      int32_t idx = 0;
-      for (int s = 0; s < n_scales - 1; ++s) {
-        if (sigma > scale_table[s]) ++idx;
+  std::vector<int64_t> rr_buf, cc_buf;
+  std::vector<int32_t> idx_buf;
+  std::vector<float> mu_buf, head;
+  int64_t out_pos = 0;
+  const int dmax = 2 * (h - 1) + (w - 1);
+  for (int d = 0; d <= dmax; ++d) {
+    // pixels (r, c = d - 2r) with 0 <= c < w, rows ascending
+    const int rlo = d >= w ? (d - w + 2) / 2 : 0;
+    const int rhi = d / 2 < h - 1 ? d / 2 : h - 1;
+    if (rhi < rlo) continue;
+    const int64_t n = rhi - rlo + 1;
+    rr_buf.resize(n);
+    cc_buf.resize(n);
+    for (int64_t p = 0; p < n; ++p) {
+      rr_buf[p] = rlo + p;
+      cc_buf[p] = d - 2 * rr_buf[p];
+    }
+    idx_buf.resize(n * ic);
+    mu_buf.resize(n * ic);
+    pixelcnn_diag_eval(padded, w, pad, ic, specs, acts, rr_buf.data(),
+                       cc_buf.data(), n, scale_table, n_scales,
+                       scale_bound, &head, idx_buf.data(), mu_buf.data());
+    for (int64_t p = 0; p < n; ++p) {
+      const int64_t r = rr_buf[p], c = cc_buf[p];
+      float* hat = padded + ((r + pad) * wpad2 + (c + pad)) * ic;
+      for (int g = 0; g < ic; ++g) {
+        const int32_t row = idx_buf[p * ic + g];
+        const float mu = mu_buf[p * ic + g];
+        int32_t sym;
+        if (mode == 0) {
+          const float x = x_true[(r * w + c) * ic + g];
+          sym = static_cast<int32_t>(nearbyintf(x - mu));
+          sym_out[out_pos] = sym;
+          idx_out[out_pos] = row;
+        } else {
+          sym = ranscore::decode_symbol(
+              &dec, cdfs + static_cast<int64_t>(row) * cdf_stride,
+              cdf_lengths[row], offsets[row]);
+        }
+        ++out_pos;
+        hat[g] = static_cast<float>(sym) + mu;
       }
-      idx_out[p * ic + g] = idx;
-      mu_out[p * ic + g] = mu;
     }
   }
 }
@@ -787,7 +980,9 @@ uint64_t ztsep_ctx_fingerprint() {
     mix(mu);
   }
 
-  // 4) incremental PixelCNN step (masked taps + simd-reduction inner loop)
+  // 4) incremental PixelCNN step (vectorized masked-tap layers, repacked
+  // (groups, ntaps, in_g, out_g16) weights — exercised exactly as the
+  // plane walk evaluates them)
   {
     const int ic = 1, h = 5, w = 6, pad = 5;
     const int o0 = 8, o1 = 8, o2 = 8, o3 = 8, o4 = 2 * ic;
@@ -795,12 +990,22 @@ uint64_t ztsep_ctx_fingerprint() {
     fill(plane);
     std::vector<float> ws[5], bs[5];
     const int outs[5] = {o0, o1, o2, o3, o4};
+    int og16[5];
     int in_prev = ic;
     for (int l = 0; l < 5; ++l) {
-      ws[l].resize(static_cast<size_t>(outs[l]) * 9 * (in_prev / ic));
-      bs[l].resize(outs[l]);
-      fill(ws[l]);
-      fill(bs[l]);
+      const int ntaps = l == 0 ? 4 : 5;
+      const int out_g = outs[l] / ic;
+      og16[l] = (out_g + 15) & ~15;
+      ws[l].assign(static_cast<size_t>(ic) * ntaps * (in_prev / ic)
+                   * og16[l], 0.0f);
+      bs[l].assign(static_cast<size_t>(ic) * og16[l], 0.0f);
+      // fill only the true output lanes (padding stays zero, matching the
+      // binding's repack)
+      for (size_t base = 0; base < ws[l].size(); base += og16[l])
+        for (int o = 0; o < out_g; ++o) ws[l][base + o] = next();
+      for (int g = 0; g < ic; ++g)
+        for (int o = 0; o < out_g; ++o)
+          bs[l][static_cast<size_t>(g) * og16[l] + o] = next();
       in_prev = outs[l];
     }
     std::vector<float> a0((h + 2) * (w + 2) * o0, 0.0f),
@@ -819,14 +1024,16 @@ uint64_t ztsep_ctx_fingerprint() {
       }
       std::vector<int32_t> idx(rows.size() * ic);
       std::vector<float> mu(rows.size() * ic);
-      ztsep_pixelcnn_step(plane.data(), h, w, pad, ic, rows.data(),
-                          cols.data(), static_cast<int64_t>(rows.size()),
-                          a0.data(), a1.data(), a2.data(), a3.data(),
-                          ws[0].data(), bs[0].data(), o0, ws[1].data(),
-                          bs[1].data(), o1, ws[2].data(), bs[2].data(), o2,
-                          ws[3].data(), bs[3].data(), o3, ws[4].data(),
-                          bs[4].data(), o4, table.data(), 5, 0.11f,
-                          idx.data(), mu.data());
+      ztsep_pixelcnn_step(
+          plane.data(), h, w, pad, ic, rows.data(), cols.data(),
+          static_cast<int64_t>(rows.size()), a0.data(), a1.data(),
+          a2.data(), a3.data(),
+          ws[0].data(), bs[0].data(), o0, og16[0],
+          ws[1].data(), bs[1].data(), o1, og16[1],
+          ws[2].data(), bs[2].data(), o2, og16[2],
+          ws[3].data(), bs[3].data(), o3, og16[3],
+          ws[4].data(), bs[4].data(), o4, og16[4],
+          table.data(), 5, 0.11f, idx.data(), mu.data());
       mix_bytes(idx.data(), idx.size() * 4);
       mix(mu);
     }

@@ -271,26 +271,95 @@ class PixelCNNWalker:
     and returns the centers' (CDF rows, mu).
     """
 
+    # causal 3x3 taps: mask A = first 4, mask B adds the center
+    _TAPS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0))
+
     def __init__(self, plane_params: Dict, which: str, ic: int):
         stack = plane_params["entropymodel"][which]
         self.ic = ic
-        self.ws, self.bs, self.outs = [], [], []
+        self.ws, self.bs, self.outs, self.og16 = [], [], [], []
         for i in range(5):
             k = np.asarray(stack[f"MaskedConv2d_{i}"]["kernel"], np.float32)
             kh, kw, in_g, out = k.shape
             assert (kh, kw) == (3, 3)
-            # (3,3,in_g,out) -> (out, 9, in_g) for unit-stride channel reads
-            self.ws.append(np.ascontiguousarray(
-                k.reshape(9, in_g, out).transpose(2, 0, 1)))
-            self.bs.append(np.ascontiguousarray(
-                np.asarray(stack[f"MaskedConv2d_{i}"]["bias"], np.float32)))
+            ntaps = 4 if i == 0 else 5
+            out_g = out // ic
+            og16 = (out_g + 15) & ~15
+            # (3,3,in_g,out) -> (ic, ntaps, in_g, og16): outputs are the
+            # SIMD axis of the C++ evaluator; per-group lanes padded to 16
+            # (padding weight/bias lanes zero — pure data movement, no
+            # arithmetic, so numpy is safe here)
+            wt = np.zeros((ic, ntaps, in_g, og16), np.float32)
+            for t, (dr, dc) in enumerate(self._TAPS[:ntaps]):
+                # (in_g, out) -> (in_g, ic, out_g) -> per-group lanes
+                tap = k[dr + 1, dc + 1].reshape(in_g, ic, out_g)
+                wt[:, t, :, :out_g] = tap.transpose(1, 0, 2)
+            self.ws.append(np.ascontiguousarray(wt))
+            bias = np.asarray(stack[f"MaskedConv2d_{i}"]["bias"], np.float32)
+            bp = np.zeros((ic, og16), np.float32)
+            bp[:, :out_g] = bias.reshape(ic, out_g)
+            self.bs.append(np.ascontiguousarray(bp))
             self.outs.append(out)
+            self.og16.append(og16)
         self.table = np.ascontiguousarray(
             gaussian.get_scale_table().astype(np.float32))
 
     def begin(self, h: int, w: int) -> "_PixelCNNWalk":
         """Fresh walk session with zeroed per-layer activation planes."""
         return _PixelCNNWalk(self, h, w)
+
+    def walk(self, padded: np.ndarray, pad: int,
+             x_true: np.ndarray = None,
+             cdfs: np.ndarray = None, cdf_lengths: np.ndarray = None,
+             offsets: np.ndarray = None, stream: bytes = b""):
+        """Full-plane wavefront walk in ONE C++ call (anti-diagonal loop,
+        incremental 5-layer evaluation, rANS coding, writeback) — the
+        PixelCNN mirror of :meth:`LevelContextEvaluator.walk`.
+
+        ``padded``: (1, h+2*pad, w+2*pad, ic) float32 zero-initialized
+        plane. Encode mode when ``x_true`` (1, h, w, ic) is given; decode
+        mode consumes ``stream``. Returns (symbols, indexes) on encode,
+        (None, None) on decode.
+        """
+        lib = get_lib()
+        h = padded.shape[1] - 2 * pad
+        w = padded.shape[2] - 2 * pad
+        assert padded.dtype == np.float32 and padded.flags.c_contiguous
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n_all = h * w * self.ic
+        encode = x_true is not None
+        if encode:
+            x_true = np.ascontiguousarray(x_true, np.float32)
+            syms = np.zeros(n_all, np.int32)
+            idxs = np.zeros(n_all, np.int32)
+            sbuf = np.zeros(0, np.uint8)
+        else:
+            syms = idxs = None
+            sbuf = np.frombuffer(stream, np.uint8)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_lengths = np.ascontiguousarray(cdf_lengths, np.int32)
+        offsets = np.ascontiguousarray(offsets, np.int32)
+        null_i32 = ctypes.cast(None, i32p)
+        args = [ctypes.c_int32(0 if encode else 1),
+                ctypes.c_int32(h), ctypes.c_int32(w),
+                ctypes.c_int32(self.ic), ctypes.c_int32(pad),
+                _fp(padded),
+                _fp(x_true) if encode else ctypes.cast(
+                    None, ctypes.POINTER(ctypes.c_float))]
+        for wt, b, o, og in zip(self.ws, self.bs, self.outs, self.og16):
+            args += [_fp(wt), _fp(b), ctypes.c_int32(o), ctypes.c_int32(og)]
+        args += [_fp(self.table), ctypes.c_int32(len(self.table)),
+                 ctypes.c_float(gaussian.SCALE_BOUND),
+                 cdfs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                 ctypes.c_int32(cdfs.shape[1]),
+                 cdf_lengths.ctypes.data_as(i32p),
+                 offsets.ctypes.data_as(i32p),
+                 sbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                 ctypes.c_int64(sbuf.size),
+                 syms.ctypes.data_as(i32p) if encode else null_i32,
+                 idxs.ctypes.data_as(i32p) if encode else null_i32]
+        lib.ztsep_pixelcnn_walk(*args)
+        return syms, idxs
 
 
 class _PixelCNNWalk:
@@ -325,8 +394,8 @@ class _PixelCNNWalk:
                 rows.ctypes.data_as(i64), cols.ctypes.data_as(i64),
                 ctypes.c_int64(n)]
         args += [_fp(a) for a in self.acts]
-        for w, b, o in zip(ev.ws, ev.bs, ev.outs):
-            args += [_fp(w), _fp(b), ctypes.c_int32(o)]
+        for w, b, o, og in zip(ev.ws, ev.bs, ev.outs, ev.og16):
+            args += [_fp(w), _fp(b), ctypes.c_int32(o), ctypes.c_int32(og)]
         args += [_fp(ev.table), ctypes.c_int32(len(ev.table)),
                  ctypes.c_float(gaussian.SCALE_BOUND),
                  idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(mu)]

@@ -172,57 +172,59 @@ class ZTSepPlaneCoder:
 
         padded = np.zeros((1, h + 2 * pad, w + 2 * pad, c), np.float32)
         hat = padded[:, pad:h + pad, pad:w + pad, :]  # view for readback
-        if native is not None and kind == "level":
+        if native is not None:
             # fully-native plane walk: diagonal loop, context eval, rANS
             # and writeback all in one C++ call (no Python per diagonal)
+            x_np = None if x_true is None else np.asarray(x_true)[0]
             with _WALK_SLOTS:
-                syms, idxs = native.walk(
-                    padded, plc[0],
-                    None if x_true is None else np.asarray(x_true)[0],
-                    coder._gc_cdfs, coder._gc_lengths, coder._gc_offsets,
-                    stream=b"" if stream is None else stream)
+                if kind == "level":
+                    syms, idxs = native.walk(
+                        padded, plc[0], x_np,
+                        coder._gc_cdfs, coder._gc_lengths,
+                        coder._gc_offsets,
+                        stream=b"" if stream is None else stream)
+                else:
+                    syms, idxs = native.walk(
+                        padded, pad, x_np,
+                        coder._gc_cdfs, coder._gc_lengths,
+                        coder._gc_offsets,
+                        stream=b"" if stream is None else stream)
             if x_true is None:
                 syms = np.zeros(0, np.int32)
                 idxs = np.zeros(0, np.int32)
             return np.ascontiguousarray(hat), syms, idxs
 
-        codes_fn = (None if native is not None
-                    else coder._entropy_codes_cpu(self.plane, name, *static))
+        codes_fn = coder._entropy_codes_cpu(self.plane, name, *static)
         order = diagonal_order(h, w, a)
-        if native is not None:
-            # fresh per-walk session (activation planes); the cached
-            # evaluator itself is read-only and shared across threads
-            native = native.begin(h, w)
         decoder = None
         if x_true is None:
             decoder = rans.RansDecoder()
             decoder.set_stream(stream)
         with _WALK_SLOTS:
-            return self._walk_loop(order, native, codes_fn, kind, plc,
-                                   padded, hat, pad, k, c, x_true, decoder,
-                                   coder)
+            return self._walk_loop(order, codes_fn, kind, plc, padded, hat,
+                                   pad, k, c, x_true, decoder, coder)
 
-    def _walk_loop(self, order, native, codes_fn, kind, plc, padded, hat,
+    def _walk_loop(self, order, codes_fn, kind, plc, padded, hat,
                    pad, k, c, x_true, decoder, coder):
+        """Python-orchestrated per-diagonal walk over the CPU-jax context
+        evaluators — the fallback when the native C++ build is unavailable
+        (and the decode path for streams tagged ``evaluator == "jax"``)."""
         all_syms, all_idxs = [], []
         cpu = jax.devices("cpu")[0]
         for coords in order:
             n = coords.shape[0]
-            if native is not None:
-                idx, mu = native.step(padded, pad, coords)
-            else:
-                bucket = _bucket(n)
-                patches = _gather_patches(padded, coords, k, bucket)
-                with jax.default_device(cpu):
-                    if kind == "level":
-                        plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
-                        plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
-                        idx, mu = codes_fn(jnp.asarray(patches),
-                                           jnp.asarray(plc_c))
-                    else:
-                        idx, mu = codes_fn(jnp.asarray(patches))
-                idx = np.asarray(idx)[:n]
-                mu = np.asarray(mu)[:n]
+            bucket = _bucket(n)
+            patches = _gather_patches(padded, coords, k, bucket)
+            with jax.default_device(cpu):
+                if kind == "level":
+                    plc_c = np.zeros((bucket, plc.shape[-1]), np.float32)
+                    plc_c[:n] = plc[0, coords[:, 0], coords[:, 1], :]
+                    idx, mu = codes_fn(jnp.asarray(patches),
+                                       jnp.asarray(plc_c))
+                else:
+                    idx, mu = codes_fn(jnp.asarray(patches))
+            idx = np.asarray(idx)[:n]
+            mu = np.asarray(mu)[:n]
             idx_d = np.asarray(idx).ravel()
             mu = np.asarray(mu)
             rr, cc = coords[:, 0], coords[:, 1]

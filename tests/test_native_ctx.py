@@ -225,3 +225,81 @@ def test_ctx_fingerprint_stable_and_checked():
     with pytest.raises(RuntimeError, match="fingerprint"):
         decompress_ztsep(coder, 0, streams, xe_hat.shape,
                          [t.shape for t in xo_hats])
+
+
+def test_native_pixelcnn_walk_full_plane_bit_exact():
+    """The fully-native PixelCNN plane walk (one C++ call: diagonal loop,
+    eval, rANS, writeback) is bit-identical to the Python-orchestrated
+    step walk — symbols, indexes and decoded plane — and the stream
+    round-trips through the inline rANS decoder, for the xe (ic=1) and
+    coarsest-details (ic=3) stacks."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.native_ctx import (
+        PixelCNNWalker)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.wavefront import (
+        diagonal_order)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding import rans
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.codec_coder import (
+        _gc_tables)
+
+    cfg = Config(netType="CDF97", entropy_layer="conditioned2ZTsepSubbands",
+                 autoencoder="SubbandAutoEncoder", clrch=1, dwtlevels=2)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    plane_params = jax.device_get(state.params["codecs_0"])
+    cdfs, lengths, offsets = _gc_tables()
+
+    rng = np.random.RandomState(7)
+    h, w, pad = 13, 17, 5
+    for which, ic in (("pixelcnn_xe", 1), ("pixelcnn_xo", 3)):
+        ev = PixelCNNWalker(plane_params, which, ic)
+        x_true = np.round(rng.randn(1, h, w, ic) * 3).astype(np.float32)
+
+        # reference: Python step loop (shares the C++ evaluator)
+        walk = ev.begin(h, w)
+        padded_ref = np.zeros((1, h + 2 * pad, w + 2 * pad, ic), np.float32)
+        syms_ref, idxs_ref = [], []
+        for coords in diagonal_order(h, w, a=2):
+            idx, mu = walk.step(padded_ref, pad, coords)
+            rr, cc = coords[:, 0], coords[:, 1]
+            sym = np.round(x_true[0, rr, cc] - mu).astype(np.int32)
+            padded_ref[0, rr + pad, cc + pad] = sym.astype(np.float32) + mu
+            syms_ref.append(sym.ravel())
+            idxs_ref.append(idx.ravel())
+
+        padded = np.zeros_like(padded_ref)
+        syms, idxs = ev.walk(padded, pad, x_true, cdfs, lengths, offsets)
+        np.testing.assert_array_equal(syms, np.concatenate(syms_ref),
+                                      err_msg=which)
+        np.testing.assert_array_equal(idxs, np.concatenate(idxs_ref),
+                                      err_msg=which)
+        np.testing.assert_array_equal(padded, padded_ref, err_msg=which)
+
+        stream = rans.encode_with_indexes(syms, idxs, cdfs, lengths, offsets)
+        padded_dec = np.zeros_like(padded)
+        ev.walk(padded_dec, pad, None, cdfs, lengths, offsets, stream=stream)
+        np.testing.assert_array_equal(padded_dec, padded, err_msg=which)
+
+
+def test_native_plc_plane_geometry_switch_deterministic():
+    """The plc pass's persistent scratch reuse must not leak state across
+    geometry switches (same input -> same output before/after evaluating a
+    different-size plane)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.coding.native_ctx import (
+        PLCPlaneEvaluator)
+
+    cfg = Config(netType="CDF97", entropy_layer="conditioned2ZTsepSubbands",
+                 autoencoder="SubbandAutoEncoder", clrch=1, dwtlevels=2)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    plane_params = jax.device_get(state.params["codecs_0"])
+    ev = PLCPlaneEvaluator(plane_params, level=0, so=3)
+
+    rng = np.random.RandomState(3)
+    big = np.round(rng.randn(1, 8, 11, 3) * 3).astype(np.float32)
+    small = np.round(rng.randn(1, 3, 5, 3) * 3).astype(np.float32)
+    out1 = ev(big)
+    ev(small)
+    out2 = ev(big)
+    np.testing.assert_array_equal(out1, out2)

@@ -187,6 +187,36 @@ def main():
     from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loop import (
         LiftingDWTAgent)
 
+    def refresh_bd_rates():
+        """Recompute the BD-rate summary fields from the current points —
+        run after EVERY lambda so an interrupted sweep never leaves them
+        stale relative to the points (they are what gets quoted)."""
+        pts = sorted((v["bpp"], v["psnr"])
+                     for v in results["points"].values())
+        if len(pts) < 3:
+            return
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot import (
+            bd_rate)
+
+        for anchor, field in (("jpeg_anchor", "bd_rate_vs_jpeg_pct"),
+                              ("jpeg2000_anchor",
+                               "bd_rate_vs_jpeg2000_pct")):
+            if not results.get(anchor):
+                continue
+            ja = sorted(results[anchor])
+            results[field] = bd_rate(
+                [p[0] for p in ja], [p[1] for p in ja],
+                [p[0] for p in pts], [p[1] for p in pts])
+
+    def write_results():
+        # atomic: a reader (or a crash) never sees a partial file
+        import tempfile
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out_path),
+                                   suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(results, fh, indent=1)
+        os.replace(tmp, out_path)
+
     for lam in (float(v) for v in args.lambdas.split(",")):
         t0 = time.time()
         cfg = make_cfg(args.preset, lam, args.steps, train_dir, eval_dir,
@@ -200,27 +230,13 @@ def main():
             "bpp": bpp, "psnr": psnr,
             "iterations": int(agent.current_iteration),
             "train_minutes": round((time.time() - t0) / 60, 1)}
-        json.dump(results, open(out_path, "w"), indent=1)
+        refresh_bd_rates()
+        write_results()
         print(f"lambda={lam:g}: {bpp:.4f} bpp @ {psnr:.2f} dB "
               f"({results['points'][f'{lam:g}']['train_minutes']} min)")
-
-    # BD-rate vs the self-computed anchors on the same eval set
-    pts = sorted((v["bpp"], v["psnr"]) for v in results["points"].values())
-    if len(pts) >= 3:
-        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot import (
-            bd_rate)
-
-        for anchor, field in (("jpeg_anchor", "bd_rate_vs_jpeg_pct"),
-                              ("jpeg2000_anchor",
-                               "bd_rate_vs_jpeg2000_pct")):
-            if not results.get(anchor):
-                continue
-            ja = sorted(results[anchor])
-            results[field] = bd_rate(
-                [p[0] for p in ja], [p[1] for p in ja],
-                [p[0] for p in pts], [p[1] for p in pts])
-            print(f"BD-rate vs {anchor}: {results[field]} %")
-        json.dump(results, open(out_path, "w"), indent=1)
+        for field in ("bd_rate_vs_jpeg_pct", "bd_rate_vs_jpeg2000_pct"):
+            if field in results:
+                print(f"  {field}: {results[field]:.2f}")
 
 
 if __name__ == "__main__":

@@ -280,6 +280,19 @@ inline void level_diag_eval(LevelBufs* bufs, int64_t n, int32_t so,
 // 1-padded (h+2, ws+2) planes at offset (1,1) so the result can feed the
 // next conv (the caller must re-zero the junk tail columns [w+1, ws+2)
 // when ws > w).
+//
+// Loop order is (row, TAP, out-block, pixel-tile) with the partial sums
+// parked in the output rows between tap passes: per (row, tap) the live
+// working set is ONE input row across all channels (~375 KB at 243 ch)
+// plus that tap's weight slice (~240 KB) — both L2-resident across the
+// 31 out-blocks — instead of the earlier (row, out-block) order whose
+// 3-row strip (~2 MB) plus the full weight array (~2.2 MB) cycled
+// through L2 every row (L3-bound at ~40 GMAC/s; this form measures ~2.5x
+// that at the flagship 243->248 shape). Each output element still
+// accumulates bias-then-(tap-major, channel-ascending) — the tap passes
+// only stage the SAME chain through memory, so results are bit-identical
+// to the single-pass form and the fingerprint is unchanged (fp32
+// round-trips through memory exactly).
 inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
                            int ws, const float* __restrict__ wpack,
                            const float* __restrict__ bias, int cout_p8,
@@ -289,21 +302,32 @@ inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
   const int out_str = out_off ? pstr : ws;
   const int64_t out_plane =
       static_cast<int64_t>(h + 2 * out_off) * out_str;
-  // Row-major over output rows, out-blocks inner: the 3-row input strip a
-  // row touches (~1.1 MB at 243 channels) stays L2-resident across all
-  // out-blocks instead of restreaming the whole input plane per block.
   for (int r = 0; r < h; ++r) {
-    for (int ob = 0; ob < cout_p8 / 8; ++ob) {
-      const float* wb = wpack + static_cast<int64_t>(ob) * 9 * cin * 8;
-      const float* bb = bias + ob * 8;
-      for (int p0 = 0; p0 < ws; p0 += 32) {
-        v16 a[8][2];
+    for (int t = 0; t < 9; ++t) {
+      const float* int_row =
+          in + static_cast<int64_t>(r + t / 3) * pstr + t % 3;
+      const bool first = t == 0, last = t == 8;
+      for (int ob = 0; ob < cout_p8 / 8; ++ob) {
+        const float* wt = wpack
+            + (static_cast<int64_t>(ob) * 9 + t) * cin * 8;
+        const float* bb = bias + ob * 8;
+        float* ob_row = out + static_cast<int64_t>(ob * 8) * out_plane
+                        + static_cast<int64_t>(r + out_off) * out_str
+                        + out_off;
+        for (int p0 = 0; p0 < ws; p0 += 32) {
+          v16 a[8][2];
+          if (first) {
 #pragma GCC unroll 8
-        for (int o = 0; o < 8; ++o) a[o][0] = a[o][1] = v16splat(bb[o]);
-        for (int t = 0; t < 9; ++t) {
-          const float* inb =
-              in + static_cast<int64_t>(r + t / 3) * pstr + p0 + t % 3;
-          const float* wt = wb + static_cast<int64_t>(t) * cin * 8;
+            for (int o = 0; o < 8; ++o) a[o][0] = a[o][1] = v16splat(bb[o]);
+          } else {
+#pragma GCC unroll 8
+            for (int o = 0; o < 8; ++o) {
+              float* yp = ob_row + o * out_plane + p0;
+              a[o][0] = v16load(yp);
+              a[o][1] = v16load(yp + 16);
+            }
+          }
+          const float* inb = int_row + p0;
           for (int c = 0; c < cin; ++c) {
             const float* __restrict__ x = inb + c * in_plane;
             const v16 x0 = v16load(x);
@@ -316,20 +340,17 @@ inline void conv3x3_planar(const float* __restrict__ in, int cin, int h,
               a[o][1] += wv * x1;
             }
           }
-        }
-        float* ob0 = out + static_cast<int64_t>(ob * 8) * out_plane
-                     + static_cast<int64_t>(r + out_off) * out_str + p0
-                     + out_off;
 #pragma GCC unroll 8
-        for (int o = 0; o < 8; ++o) {
-          v16 y0 = a[o][0], y1 = a[o][1];
-          if (act) {
-            y0 = v16lrelu(y0);
-            y1 = v16lrelu(y1);
+          for (int o = 0; o < 8; ++o) {
+            v16 y0 = a[o][0], y1 = a[o][1];
+            if (act && last) {
+              y0 = v16lrelu(y0);
+              y1 = v16lrelu(y1);
+            }
+            float* yp = ob_row + o * out_plane + p0;
+            v16store(yp, y0);
+            v16store(yp + 16, y1);
           }
-          float* yp = ob0 + o * out_plane;
-          v16store(yp, y0);
-          v16store(yp + 16, y1);
         }
       }
     }

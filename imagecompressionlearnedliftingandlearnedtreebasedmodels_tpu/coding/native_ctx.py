@@ -51,20 +51,27 @@ def get_lib() -> ctypes.CDLL:
                    "-std=c++17", "-fopenmp", "-o", _LIB, _SRC]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)
-            except subprocess.CalledProcessError:
-                # toolchains without libgomp / non-x86 targets: drop the
-                # optional flags one by one
-                for flag in ("-fopenmp", "-mprefer-vector-width=512"):
-                    if flag in cmd:
-                        cmd.remove(flag)
-                        try:
-                            subprocess.run(cmd, check=True,
-                                           capture_output=True)
-                            break
-                        except subprocess.CalledProcessError:
-                            continue
+            except subprocess.CalledProcessError as e:
+                # Toolchains without libgomp / non-x86 targets reject one
+                # (or both) of the optional flags. Drop the flag the
+                # compiler actually complained about first — so a g++ that
+                # rejects only -mprefer-vector-width keeps OpenMP — then
+                # the other, then both; never re-run a failed command.
+                opts = ["-mprefer-vector-width=512", "-fopenmp"]
+                stderr = (e.stderr or b"").decode("utf-8", "replace")
+                opts.sort(key=lambda f: f not in stderr)
+                attempts = [[o for o in cmd if o != opts[0]],
+                            [o for o in cmd if o != opts[1]],
+                            [o for o in cmd if o not in opts]]
+                last = e
+                for att in attempts:
+                    try:
+                        subprocess.run(att, check=True, capture_output=True)
+                        break
+                    except subprocess.CalledProcessError as err:
+                        last = err
                 else:
-                    subprocess.run(cmd, check=True, capture_output=True)
+                    raise last
         _lib = ctypes.CDLL(_LIB)
         return _lib
 

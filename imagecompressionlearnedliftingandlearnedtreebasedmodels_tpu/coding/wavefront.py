@@ -148,9 +148,17 @@ class ZTSepPlaneCoder:
                         f"is {backend!r} — bf16 accumulation differs across "
                         f"backends, decoding could corrupt the plane")
                 self.last_plc_backend = backend
-                plc = np.asarray(coder._entropy_method(
-                    self.plane, "plc_params_from_parent", level)(
-                        None, jnp.asarray(np.asarray(con))))
+                # Trace with the Pallas conv path disabled: the recorded
+                # backend NAME is the stream's arithmetic pin, and legacy
+                # backend-pinned streams were encoded with the im2colT
+                # lowering — the Pallas kernel's different bf16 accumulation
+                # order would silently corrupt them (and make the name an
+                # ambiguous pin for new streams).
+                from ..ops.fast_conv import disable_pallas
+                with disable_pallas():
+                    plc = np.asarray(coder._entropy_method(
+                        self.plane, "plc_params_from_parent", level)(
+                            None, jnp.asarray(np.asarray(con))))
         else:
             k, name, static = 11, ("xe_center_params" if kind == "xe"
                                    else "coarsest_center_params"), ()
@@ -308,7 +316,19 @@ def decompress_ztsep(coder, plane: int, streams, xe_shape, xo_shapes):
                 "stream was encoded with the native (C++) coding kernels "
                 f"but they are unavailable here ({type(e).__name__}: {e})"
             ) from e
-        if fp is not None and fp != local_fp:
+        if fp is None:
+            # Legacy streams from builds that predate fingerprint stamping
+            # used kernels whose bit-level arithmetic has since changed
+            # (composed cgp layer 0, vectorized PixelCNN, different GEMM
+            # accumulation order) — treating the absent fingerprint as a
+            # match would silently corrupt exactly those planes.
+            raise RuntimeError(
+                "stream was encoded with the native (C++) coding kernels "
+                "but carries no kernel fingerprint ('ctx_fp') — it predates "
+                "fingerprint stamping and the kernels' bit-level arithmetic "
+                "has changed since; refusing to decode (re-encode with a "
+                "current build)")
+        if fp != local_fp:
             raise RuntimeError(
                 f"stream's native coding kernels fingerprint {fp} != this "
                 f"build's {local_fp} — the builds produce different bits "

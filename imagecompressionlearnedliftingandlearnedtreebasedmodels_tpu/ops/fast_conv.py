@@ -15,11 +15,39 @@ when bf16 compute is enabled.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from . import pallas_conv
+
+_TL = threading.local()
+
+
+def pallas_disabled() -> bool:
+    return getattr(_TL, "no_pallas", False)
+
+
+@contextlib.contextmanager
+def disable_pallas():
+    """Trace-time override forcing :class:`FastConv3x3` onto the im2colT
+    path regardless of backend/shape.
+
+    The coding path pins a stream's whole-plane parent-context pass to a
+    backend NAME (``PlaneStreams.meta['plc_backend_*']``); that name must
+    identify the arithmetic. The Pallas kernel changes bf16 accumulation
+    order vs the im2colT lowering legacy streams were encoded with, so the
+    coding-path fallback traces its plc pass under this context — the
+    backend name then always means "im2colT on that backend"."""
+    old = getattr(_TL, "no_pallas", False)
+    _TL.no_pallas = True
+    try:
+        yield
+    finally:
+        _TL.no_pallas = old
 
 
 def conv3x3_im2colT(x, kernel, bias=None, dtype=jnp.bfloat16):
@@ -184,8 +212,11 @@ class FastConv3x3(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         if (self.use_pallas
+                and not pallas_disabled()
                 and jax.default_backend() in ("tpu", "axon")
-                and pallas_conv.supported(x.shape, cin, self.features)):
+                and pallas_conv.supported(
+                    x.shape, cin, self.features,
+                    2 if self.dtype == jnp.bfloat16 else 4)):
             y = pallas_conv.conv3x3_halo(x, kernel, self.dtype)
             return y + bias if bias is not None else y
         return conv3x3_im2colT(x, kernel, bias, self.dtype)

@@ -60,13 +60,11 @@ def _pick_tile_h(h: int, w: int, cin: int, cout: int,
     """
     kw = 9 * _round_up(cin, 128) * _round_up(cout, 128) * dsize
     for th in (32, 16, 8, 4, 2, 1):
-        if h % th:
-            continue
         xin = 2 * (th + 2) * _round_up(w + 2, 8) * _round_up(cin, 128) * dsize
         out = 2 * th * _round_up(w, 8) * _round_up(cout, 128) * 4
         if xin + 2 * out + kw <= budget:
             return th
-    return 1
+    return 0  # nothing fits: caller must use the im2colT path
 
 
 def _conv_kernel(x_ref, k_ref, o_ref, *, th: int, w: int):
@@ -89,10 +87,19 @@ def _conv3x3_halo_fwd(x, kernel, dtype=jnp.bfloat16, interpret=False):
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     th = _pick_tile_h(h, w, cin, cout, 2 if dtype == jnp.bfloat16 else 4)
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if th == 0:
+        raise ValueError(
+            f"conv3x3_halo: no row tile fits the VMEM budget for shape "
+            f"{x.shape} -> {cout}; gate calls with supported()")
+    # Ragged heights: pad rows up to a tile multiple (the pad rows are
+    # zeros past the conv's own 1-row zero pad, so rows < h are exact) and
+    # slice the valid output.
+    hp = _round_up(h, th)
+    xp = jnp.pad(x.astype(dtype),
+                 ((0, 0), (1, 1 + hp - h), (1, 1), (0, 0)))
     kr = kernel.reshape(9, cin, cout).astype(dtype)
-    grid = (b, h // th)
-    return pl.pallas_call(
+    grid = (b, hp // th)
+    y = pl.pallas_call(
         functools.partial(_conv_kernel, th=th, w=w),
         grid=grid,
         in_specs=[
@@ -103,9 +110,10 @@ def _conv3x3_halo_fwd(x, kernel, dtype=jnp.bfloat16, interpret=False):
         ],
         out_specs=pl.BlockSpec((None, th, w, cout),
                                lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cout), jnp.float32),
         interpret=interpret,
     )(xp, kr)
+    return y if hp == h else y[:, :h]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -142,7 +150,9 @@ def _bwd(dtype, res, dy):
 conv3x3_halo.defvjp(_fwd, _bwd)
 
 
-def supported(x_shape, cin: int, cout: int) -> bool:
-    """Shapes where the fused kernel beats the im2colT path."""
+def supported(x_shape, cin: int, cout: int, dsize: int = 2) -> bool:
+    """Shapes where the fused kernel beats the im2colT path (and fits the
+    VMEM budget — pathological width/channel combinations fall back)."""
     _, h, w, _ = x_shape
-    return cin >= 32 and cout >= 32 and h >= 2 and (w % 8) == 0
+    return (cin >= 32 and cout >= 32 and h >= 2 and (w % 8) == 0
+            and _pick_tile_h(h, w, cin, cout, dsize) > 0)

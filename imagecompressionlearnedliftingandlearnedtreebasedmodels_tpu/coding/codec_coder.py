@@ -260,6 +260,46 @@ class CodecCoder:
                        lambda m, xe, xo: m.transform.decode(xe, list(xo)))
         return lambda _params, xe, xo: fn(self._plane_params(plane), xe, xo)
 
+    # --- fused multi-plane transform dispatches --------------------------
+    # With clrch == 1 the three YCbCr planes have independent param trees;
+    # running their analysis (and synthesis) sequentially inside ONE jitted
+    # call turns 3 tunneled round trips into 1 without the batched-kernel
+    # conv penalty a params-vmap would pay (see CLAUDE.md).
+    def _analysis_all(self):
+        key = ("enc_all", self.n_planes)
+        if key not in self._jit_cache:
+            codec = self._plane_codec
+
+            def enc_one(p, y):
+                return codec.apply({"params": p}, y,
+                                   method=lambda m, v: m.transform.encode(v))
+
+            self._jit_cache[key] = jax.jit(
+                lambda ps, ys: tuple(enc_one(p, y)
+                                     for p, y in zip(ps, ys)))
+        fn = self._jit_cache[key]
+        params = tuple(self._plane_params(p) for p in range(self.n_planes))
+        return lambda ys: fn(params, tuple(ys))
+
+    def _synthesis_all(self):
+        key = ("dec_all", self.n_planes)
+        if key not in self._jit_cache:
+            codec = self._plane_codec
+
+            def dec_one(p, xe, xo):
+                return codec.apply(
+                    {"params": p}, xe, list(xo),
+                    method=lambda m, a, b: m.transform.decode(a, b))
+
+            self._jit_cache[key] = jax.jit(
+                lambda ps, xs: tuple(dec_one(p, xe, xo)
+                                     for p, (xe, xo) in zip(ps, xs)))
+        fn = self._jit_cache[key]
+        params = tuple(self._plane_params(p) for p in range(self.n_planes))
+        return lambda xs: fn(params, tuple(
+            (jnp.asarray(xe), tuple(jnp.asarray(t) for t in xo))
+            for xe, xo in xs))
+
     def _entropy_method(self, plane: int, name: str, *static):
         """Jitted entropy-model method with Python-level static leading args
         (level / dep-net / coset indices select submodules, so they must be
@@ -309,25 +349,13 @@ class CodecCoder:
             data, indexes.ravel(), cdfs, lengths, offsets).reshape(shape)
         return symbols.astype(np.float32) + med
 
-    # --- fused per-level coding kernels ---------------------------------
+    # --- fused per-step decode kernel ------------------------------------
     # Each host<->device round trip costs real latency, so the device side
-    # of one coding step (context params -> CDF indexes -> symbols/means)
-    # is ONE jitted call per level/coset, not three.
-    def _fused_enc(self, plane: int, name: str, *static):
-        key = ("fenc", name) + static
-        if key not in self._jit_cache:
-            def fn(m, x, *args):
-                sigma, mu = getattr(m.entropymodel, name)(*static, *args)
-                idx = gaussian.build_indexes(sigma)
-                sym = jnp.round(x - mu).astype(jnp.int32)
-                hat = sym.astype(jnp.float32) + mu
-                return sym, idx, hat
-            self._jit_cache[key] = jax.jit(
-                lambda p, *a: self._plane_codec.apply(
-                    {"params": p}, *a, method=fn))
-        fn_jit = self._jit_cache[key]
-        return lambda *args: fn_jit(self._plane_params(plane), *args)
-
+    # of one decode step (context params -> CDF indexes + means) is ONE
+    # jitted call per level/coset, not two. (The ENCODE side needs no
+    # per-step dispatch at all: ``encode_chain`` runs the entire causal
+    # chain in one graph — decode can't, its symbols arrive from the host
+    # rANS stream between steps.)
     def _fused_dec_params(self, plane: int, name: str, *static):
         key = ("fdec", name) + static
         if key not in self._jit_cache:
@@ -369,6 +397,9 @@ class CodecCoder:
         """Analysis + entropy-encode one color plane. Returns streams plus
         the decode-consistent subband reconstructions."""
         xe, xo_list = self._analysis(plane)(self.params, jnp.asarray(y))
+        return self._compress_entropy(plane, xe, xo_list)
+
+    def _compress_entropy(self, plane: int, xe, xo_list):
         el = self.cfg.entropy_layer
         if el == "factorized":
             return self._compress_factorized(plane, xe, xo_list)
@@ -381,24 +412,27 @@ class CodecCoder:
             return compress_ztsep(self, plane, xe, xo_list)
         raise ValueError(el)
 
-    def decompress_plane(self, plane: int, streams: PlaneStreams,
-                         xe_shape, xo_shapes) -> np.ndarray:
+    def _decompress_entropy(self, plane: int, streams: PlaneStreams,
+                            xe_shape, xo_shapes):
         el = self.cfg.entropy_layer
         if el == "factorized":
-            xe_hat, xo_hat = self._decompress_factorized(
+            return self._decompress_factorized(
                 plane, streams, xe_shape, xo_shapes)
-        elif el == "onlyEZWT":
-            xe_hat, xo_hat = self._decompress_ezwt(
+        if el == "onlyEZWT":
+            return self._decompress_ezwt(plane, streams, xe_shape, xo_shapes)
+        if el == "DWTConditioned2EntropyLayerZTBlock":
+            return self._decompress_ztblock(
                 plane, streams, xe_shape, xo_shapes)
-        elif el == "DWTConditioned2EntropyLayerZTBlock":
-            xe_hat, xo_hat = self._decompress_ztblock(
-                plane, streams, xe_shape, xo_shapes)
-        elif el == "conditioned2ZTsepSubbands":
+        if el == "conditioned2ZTsepSubbands":
             from .wavefront import decompress_ztsep
-            xe_hat, xo_hat = decompress_ztsep(
-                self, plane, streams, xe_shape, xo_shapes)
-        else:
-            raise ValueError(el)
+            return decompress_ztsep(self, plane, streams, xe_shape,
+                                    xo_shapes)
+        raise ValueError(el)
+
+    def decompress_plane(self, plane: int, streams: PlaneStreams,
+                         xe_shape, xo_shapes) -> np.ndarray:
+        xe_hat, xo_hat = self._decompress_entropy(plane, streams, xe_shape,
+                                                  xo_shapes)
         yhat = self._synthesis(plane)(
             self.params, jnp.asarray(xe_hat),
             tuple(jnp.asarray(t) for t in xo_hat))
@@ -435,17 +469,19 @@ class CodecCoder:
         data, hat = self._eb_encode(
             np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
         xo_streams[L - 1], xo_hats[L - 1] = data, hat
-        con = jnp.asarray(hat)
+        # whole level chain in ONE dispatch + ONE readback (encode_chain)
+        chain = self._jit(
+            ("ezwt_chain",),
+            lambda m, xo, con: m.entropymodel.encode_chain(list(xo), con))
+        syms, idxs, hats = chain(
+            self._plane_params(plane),
+            tuple(jnp.asarray(t) for t in xo_list), jnp.asarray(hat))
+        syms, idxs, hats = jax.device_get((syms, idxs, hats))
         for i in range(L - 2, -1, -1):
-            sym, idx, hat_dev = self._fused_enc(
-                plane, "level_params_from_parent", i)(
-                    jnp.asarray(xo_list[i]), con)
-            sym, idx = jax.device_get((sym, idx))
             xo_streams[i] = rans.encode_with_indexes(
-                sym.ravel(), idx.ravel(), self._gc_cdfs, self._gc_lengths,
-                self._gc_offsets)
-            xo_hats[i] = np.asarray(hat_dev)
-            con = hat_dev
+                syms[i].ravel(), idxs[i].ravel(), self._gc_cdfs,
+                self._gc_lengths, self._gc_offsets)
+            xo_hats[i] = np.asarray(hats[i])
         return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
 
     def _decompress_ezwt(self, plane, streams, xe_shape, xo_shapes):
@@ -478,28 +514,21 @@ class CodecCoder:
         data, hat = self._eb_encode(
             np.asarray(xo_list[L - 1]), self._eb_table(plane, "eb_xo"))
         xo_streams[L - 1], xo_hats[L - 1] = data, hat
-        con = jnp.asarray(hat)
+        # every level x coset in ONE dispatch + ONE readback (encode_chain)
+        chain = self._jit(
+            ("ztblock_chain",),
+            lambda m, xo, con: m.entropymodel.encode_chain(list(xo), con))
+        syms, idxs, hats = chain(
+            self._plane_params(plane),
+            tuple(jnp.asarray(t) for t in xo_list), jnp.asarray(hat))
+        syms, idxs, hats = jax.device_get((syms, idxs, hats))
         for step, lvl in enumerate(range(L - 2, -1, -1)):
-            x_lvl = np.asarray(xo_list[lvl])
-            x_cosets = [x_lvl[:, 0::2, 0::2], x_lvl[:, 0::2, 1::2],
-                        x_lvl[:, 1::2, 0::2], x_lvl[:, 1::2, 1::2]]
-            cosets: List[jnp.ndarray] = []
-            datas: List[bytes] = []
-            # one device dispatch per coset covers ALL subband channels
-            # (level_coset_params traces the per-channel dep nets together)
-            for k in range(4):
-                sym, sidx, hat_k = self._fused_enc(
-                    plane, "level_coset_params", step, k)(
-                        jnp.asarray(x_cosets[k]), con, *cosets)
-                sym, sidx = jax.device_get((sym, sidx))
-                datas.append(rans.encode_with_indexes(
-                    sym.ravel(), sidx.ravel(), self._gc_cdfs,
-                    self._gc_lengths, self._gc_offsets))
-                cosets.append(hat_k)
+            datas = [rans.encode_with_indexes(
+                syms[step][k].ravel(), idxs[step][k].ravel(),
+                self._gc_cdfs, self._gc_lengths, self._gc_offsets)
+                for k in range(4)]
             xo_streams[lvl] = _pack_chunks(datas)
-            from ..entropy.models import _interleave_cosets
-            con = _interleave_cosets(*cosets)
-            xo_hats[lvl] = np.asarray(con)
+            xo_hats[lvl] = np.asarray(hats[lvl])
         return (PlaneStreams(data_xe, xo_streams), xo_hats, xe_hat, xo_hats)
 
     def _decompress_ztblock(self, plane, streams, xe_shape, xo_shapes):
@@ -542,24 +571,37 @@ class CodecCoder:
                 color.rgb_to_ycbcr(jnp.asarray(batch))))
             planes = [ycbcr[..., i:i + 1] for i in range(3)]
 
-        def roundtrip(p_y):
-            p, y = p_y
-            plane_streams, _, xe_hat, xo_hats = self.compress_plane(p, y)
-            yhat = self.decompress_plane(
+        # All planes' analysis in ONE dispatch (fused multi-plane graph),
+        # then per-plane entropy round trips (threaded: overlapping RTTs),
+        # then all planes' synthesis in ONE dispatch.
+        if len(planes) > 1:
+            xe_xo = self._analysis_all()(jnp.asarray(p) for p in planes)
+        else:
+            xe_xo = [self._analysis(0)(self.params, jnp.asarray(planes[0]))]
+
+        def roundtrip(p):
+            xe, xo_list = xe_xo[p]
+            plane_streams, _, xe_hat, xo_hats = self._compress_entropy(
+                p, xe, xo_list)
+            xe_hat2, xo_hat2 = self._decompress_entropy(
                 p, plane_streams, xe_hat.shape, [t.shape for t in xo_hats])
-            return plane_streams, yhat
+            return plane_streams, xe_hat2, xo_hat2
 
         if len(planes) > 1 and self._warm:
-            # Host<->device round trips dominate on tunneled backends;
-            # independent planes overlap their RTTs on threads.
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=len(planes)) as pool:
-                results = list(pool.map(roundtrip, enumerate(planes)))
+                results = list(pool.map(roundtrip, range(len(planes))))
         else:
-            results = [roundtrip(pe) for pe in enumerate(planes)]
+            results = [roundtrip(p) for p in range(len(planes))]
             self._warm = True
         streams = [r[0] for r in results]
-        yhats = [r[1] for r in results]
+        if len(planes) > 1:
+            yhats = [np.asarray(t) for t in self._synthesis_all()(
+                [(r[1], r[2]) for r in results])]
+        else:
+            yhats = [np.asarray(self._synthesis(0)(
+                self.params, jnp.asarray(results[0][1]),
+                tuple(jnp.asarray(t) for t in results[0][2])))]
 
         if cfg.clrch == 3:
             xhat = np.clip(yhats[0], -0.5, 0.5) + 0.5

@@ -188,6 +188,27 @@ class OnlyEZWT(nn.Module):
         the coding path's whole-tensor parameter pass (no AR)."""
         return _split_sigma_mu(self.plc[i](self._up(i, parent_hat)))
 
+    def encode_chain(self, xo_list, con):
+        """All finer levels' (symbols, CDF indexes, decoded planes) in ONE
+        trace. The encoder's level chain is fully device-resident — each
+        level's decode-consistent writeback ``round(x - mu) + mu`` feeds the
+        next level's parent context in-graph, so the whole plane encode
+        costs one dispatch instead of one per level (each host<->device
+        round trip is ~25-40 ms on tunneled backends). ``con`` is the
+        decoded coarsest-details plane."""
+        L = self.cfg.dwtlevels
+        syms: List = [None] * (L - 1)
+        idxs: List = [None] * (L - 1)
+        hats: List = [None] * (L - 1)
+        for i in range(L - 2, -1, -1):
+            sigma, mu = self.level_params_from_parent(i, con)
+            sym = jnp.round(xo_list[i] - mu).astype(jnp.int32)
+            hat = sym.astype(jnp.float32) + mu
+            syms[i], idxs[i] = sym, gaussian.build_indexes(sigma)
+            hats[i] = hat
+            con = hat
+        return syms, idxs, hats
+
     def aux_loss(self):
         return self.eb_xe.aux_loss() + self.eb_xo.aux_loss()
 
@@ -390,6 +411,35 @@ class ZTBlock(nn.Module):
             sigmas.append(self.dep_sigma[idx][k](dep))
             mus.append(self.dep_mu[idx][k](dep))
         return jnp.concatenate(sigmas, -1), jnp.concatenate(mus, -1)
+
+    def encode_chain(self, xo_list, con):
+        """(symbols, CDF indexes, decoded planes) for every finer level and
+        coset in ONE trace — the ZTBlock encoder's 4(L-1) per-coset
+        dispatches collapse to one (decode stays sequential: each coset's
+        symbols come from the host rANS stream). ``con`` is the decoded
+        coarsest-details plane. Returns (syms, idxs, hats) with syms/idxs
+        nested [level-step][coset], hats per level index."""
+        L = self.cfg.dwtlevels
+        all_syms: List = []
+        all_idxs: List = []
+        hats: List = [None] * (L - 1)
+        for step, lvl in enumerate(range(L - 2, -1, -1)):
+            x = xo_list[lvl]
+            x_cosets = (x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+                        x[:, 1::2, 0::2], x[:, 1::2, 1::2])
+            cosets, lsyms, lidxs = [], [], []
+            for k in range(4):
+                sigma, mu = self.level_coset_params(step, k, con, *cosets)
+                sym = jnp.round(x_cosets[k] - mu).astype(jnp.int32)
+                hat = sym.astype(jnp.float32) + mu
+                cosets.append(hat)
+                lsyms.append(sym)
+                lidxs.append(gaussian.build_indexes(sigma))
+            con = _interleave_cosets(*cosets)
+            hats[lvl] = con
+            all_syms.append(lsyms)
+            all_idxs.append(lidxs)
+        return all_syms, all_idxs, hats
 
     def __call__(self, xe, xo_list, training: bool = True):
         cfg = self.cfg

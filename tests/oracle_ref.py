@@ -249,6 +249,18 @@ def load_reference():
                  "graphs/models/LiftingBasedDWT_net.py")
 
 
+def load_reference_losses():
+    """Load the reference loss module (``graphs/losses/rate_dist.py``) with
+    its (unused here) visdom import stubbed."""
+    if "graphs.losses.rate_dist" in sys.modules:
+        return sys.modules["graphs.losses.rate_dist"]
+    vis = _pkg("visdom")
+    if not hasattr(vis, "Visdom"):
+        vis.Visdom = type("Visdom", (), {})
+    _pkg("graphs.losses")
+    return _load("graphs.losses.rate_dist", "graphs/losses/rate_dist.py")
+
+
 class RefConfig:
     """Attribute-access config like the reference's EasyDict."""
 

@@ -336,9 +336,15 @@ class LiftingDWTAgent:
             psnrs.append(res.psnr)
             bpps.append(res.bpp)
             self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)
+        # per-image operating points, for spread reporting (BD-rate inputs
+        # on small eval sets are fragile — the spread is part of the result)
+        self.last_test_per_image = [
+            {"psnr": round(float(p), 3), "bpp": round(float(b), 5)}
+            for p, b in zip(psnrs, bpps)]
         self.logger.info(
-            f" avg_psnr = {np.mean(psnrs):.2f}, total_rate = "
-            f"{np.mean(bpps):.4f} bpp (real bitstream)")
+            f" avg_psnr = {np.mean(psnrs):.2f} (std {np.std(psnrs):.2f}), "
+            f"total_rate = {np.mean(bpps):.4f} bpp "
+            f"(std {np.std(bpps):.4f}, real bitstream)")
         return float(np.mean(psnrs)), float(np.mean(bpps))
 
     def train_postprocess(self):

@@ -236,7 +236,8 @@ def main():
         run after EVERY lambda so an interrupted sweep never leaves them
         stale relative to the points (they are what gets quoted)."""
         pts = sorted((v["bpp"], v["psnr"])
-                     for v in results["points"].values())
+                     for v in results["points"].values()
+                     if not v.get("stale_eval_set"))
         if len(pts) < 3:
             return
         from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools.rd_plot import (

@@ -34,6 +34,18 @@ REF = "/root/reference"
 # --------------------------------------------------------------------------
 
 
+def _ref_lower_bound(x, bound: float):
+    """compressai ``LowerBound`` gradient semantics — pass-through when the
+    incoming gradient pushes x upward — via the reference's vendored copy
+    (``utils/bound_ops.py:22-42``). A plain ``torch.clamp`` here would zero
+    gradients whenever the bound is active (e.g. tail coefficients whose
+    likelihood clamps at 1e-9), which is NOT what compressai does and made
+    the train-step parity tests diverge on cgp gradients."""
+    bound_ops = _load("ref_utils.bound_ops", "utils/bound_ops.py")
+    return bound_ops.LowerBoundFunction.apply(
+        x, torch.tensor([bound], dtype=x.dtype))
+
+
 class GaussianConditional(nn.Module):
     """Minimal eval-path replica of compressai's GaussianConditional."""
 
@@ -66,7 +78,7 @@ class GaussianConditional(nn.Module):
 
     def _likelihood(self, inputs, scales, means=None):
         values = inputs - means if means is not None else inputs
-        scales = torch.clamp(scales, min=self.scale_bound)
+        scales = _ref_lower_bound(scales, self.scale_bound)
         values = torch.abs(values)
         upper = self._standardized_cumulative((0.5 - values) / scales)
         lower = self._standardized_cumulative((-0.5 - values) / scales)
@@ -78,7 +90,7 @@ class GaussianConditional(nn.Module):
         outputs = self.quantize(inputs, "noise" if training else "dequantize",
                                 means)
         likelihood = self._likelihood(outputs, scales, means)
-        likelihood = torch.clamp(likelihood, min=self.likelihood_bound)
+        likelihood = _ref_lower_bound(likelihood, self.likelihood_bound)
         return outputs, likelihood
 
 
@@ -158,7 +170,7 @@ class EntropyBottleneck(nn.Module):
         outputs = self.quantize(values, "noise" if training else "dequantize",
                                 medians)
         likelihood = self._likelihood(outputs)
-        likelihood = torch.clamp(likelihood, min=self.likelihood_bound)
+        likelihood = _ref_lower_bound(likelihood, self.likelihood_bound)
         outputs = outputs.reshape(shape[1], shape[0], *shape[2:]).permute(*perm)
         likelihood = likelihood.reshape(
             shape[1], shape[0], *shape[2:]).permute(*perm)

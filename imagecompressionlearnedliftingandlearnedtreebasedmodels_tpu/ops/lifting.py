@@ -61,8 +61,18 @@ class PBlock(nn.Module):
     nonlinear: bool = True
     dtype: object = None
 
+    @property
+    def radius(self) -> int:
+        """Receptive-field radius: 4 sequential SAME convs."""
+        return 4 * (self.filtersize // 2)
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """``mask`` (halo-sharded eval only): a broadcastable 0/1 array
+        multiplied onto every conv INPUT. On a halo-extended block whose
+        out-of-image rows are zero, re-zeroing each intermediate before the
+        next conv reproduces the unsharded SAME zero-padding exactly (conv
+        biases would otherwise bleed into the halo rows at global edges)."""
         k = (self.filtersize, self.filtersize)
         names = iter(f"Conv_{i}" for i in range(4))
         if self.dtype is not None and self.filtersize == 5:
@@ -75,15 +85,16 @@ class PBlock(nn.Module):
         else:
             conv = lambda f: nn.Conv(f, k, padding="SAME",  # noqa: E731
                                      dtype=self.dtype, name=next(names))
-        out_res = conv(self.hidden)(x)
+        mfn = (lambda t: t) if mask is None else (lambda t: t * mask)
+        out_res = conv(self.hidden)(mfn(x))
         t = jnp.tanh(out_res) if self.nonlinear else out_res
-        t = conv(self.hidden)(t)
+        t = conv(self.hidden)(mfn(t))
         if self.nonlinear:
             t = jnp.tanh(t)
-        t = conv(self.hidden)(t)
+        t = conv(self.hidden)(mfn(t))
         t = t + out_res
         # fp32 output: the result feeds the exactly-inverted lifting ladder
-        return conv(self.channels)(t).astype(jnp.float32)
+        return conv(self.channels)(mfn(t)).astype(jnp.float32)
 
 
 class SkipConv(nn.Module):
@@ -202,6 +213,89 @@ class LiftStage(nn.Module):
 
     def __call__(self, L, H):  # for init
         return self.forward(L, H)
+
+    # --- halo-sharded variants (parallel/tiling.py::make_halo_eval_step) --
+    #
+    # The collectives are injected as callables so this module stays free of
+    # mesh/axis knowledge:
+    #   ext(t)  — concatenate r neighbor rows on each side along the sharded
+    #             axis (ppermute without wraparound: global edges get zeros,
+    #             which IS the ladder's zero padding),
+    #   mask    — 0/1 array over the extended axis, zero on rows outside the
+    #             global image (edge devices only); multiplied onto every
+    #             conv input so SAME zero-padding is reproduced exactly at
+    #             every conv layer (see PBlock.__call__).
+    # Two geometries: in the row pass the lifted axis (1) IS the sharded
+    # axis — the skip conv itself needs the extension; in the column pass
+    # (arrays transposed, sharded axis 2) the skip conv is local and only
+    # the 2D P/U convs need cross-axis halos.
+
+    @property
+    def halo_radius(self) -> int:
+        """Rows of valid context a P/U block consumes on each side."""
+        return 4 * (self.filtersize // 2)
+
+    def forward_halo_rows(self, L, H, ext, mask, R):
+        """Row-pass forward: sharded axis == lifted axis (axis 1);
+        ``R == halo_radius + 1`` (1 extra row for the 3-tap skip conv)."""
+        w = self.res_weight
+        for p in range(self.num_pairs):
+            sk = self.skips[2 * p](ext(L)) * mask
+            H = H + sk[:, R:-R] + self.p_blocks[p](sk, mask)[:, R:-R] * w
+            sk = self.skips[2 * p + 1](ext(H)) * mask
+            L = L + sk[:, R:-R] + self.u_blocks[p](sk, mask)[:, R:-R] * w
+        if self.use_scale:
+            nh_eff, nl_eff = self._gains()
+            H = H * nh_eff
+            L = L * nl_eff
+        return L, H
+
+    def inverse_halo_rows(self, L, H, ext, mask, R):
+        w = self.res_weight
+        if self.use_scale:
+            nh_eff, nl_eff = self._gains()
+            H = H / nh_eff
+            L = L / nl_eff
+        for p in range(self.num_pairs - 1, -1, -1):
+            sk = self.skips[2 * p + 1](ext(H)) * mask
+            L = L - sk[:, R:-R] - self.u_blocks[p](sk, mask)[:, R:-R] * w
+            sk = self.skips[2 * p](ext(L)) * mask
+            H = H - sk[:, R:-R] - self.p_blocks[p](sk, mask)[:, R:-R] * w
+        return L, H
+
+    def forward_halo_cols(self, L, H, ext, mask, r):
+        """Column-pass forward on transposed arrays (B, W, Hs, C): the
+        lifted axis (1) is local, the sharded axis is 2; ``r ==
+        halo_radius``. The skip conv runs locally; only the P/U blocks see
+        extended inputs."""
+        w = self.res_weight
+        for p in range(self.num_pairs):
+            sk = self.skips[2 * p](L)
+            ske = ext(sk) * mask
+            H = H + sk + self.p_blocks[p](ske, mask)[:, :, r:-r] * w
+            sk = self.skips[2 * p + 1](H)
+            ske = ext(sk) * mask
+            L = L + sk + self.u_blocks[p](ske, mask)[:, :, r:-r] * w
+        if self.use_scale:
+            nh_eff, nl_eff = self._gains()
+            H = H * nh_eff
+            L = L * nl_eff
+        return L, H
+
+    def inverse_halo_cols(self, L, H, ext, mask, r):
+        w = self.res_weight
+        if self.use_scale:
+            nh_eff, nl_eff = self._gains()
+            H = H / nh_eff
+            L = L / nl_eff
+        for p in range(self.num_pairs - 1, -1, -1):
+            sk = self.skips[2 * p + 1](H)
+            ske = ext(sk) * mask
+            L = L - sk - self.u_blocks[p](ske, mask)[:, :, r:-r] * w
+            sk = self.skips[2 * p](L)
+            ske = ext(sk) * mask
+            H = H - sk - self.p_blocks[p](ske, mask)[:, :, r:-r] * w
+        return L, H
 
 
 def lift_level_forward(stage: LiftStage, x):

@@ -110,17 +110,30 @@ def tiled_forward(cfg: Config, model, params, x: np.ndarray, mesh: Mesh):
 
 
 def make_halo_eval_step(cfg: Config, model, mesh: Mesh):
-    """EXACT fully-sharded surrogate eval for ``netType == "CDF97"``.
+    """EXACT fully-sharded surrogate eval (no tiles, no seams).
 
-    The image is H-sharded over the mesh; the fixed 9/7 transform runs via
-    :func:`halo_dwt97_2d` (boundary rows ride ``ppermute`` over ICI — no
-    margins, no re-encode overhead, bit-identical to the single-device
-    transform), the subband AEs and the entropy model run on the sharded
-    subbands under GSPMD (pointwise AEs stay local; the masked convs of the
-    conditioned entropy models get their halos from XLA's SPMD partitioner),
-    and metrics reduce with global means. Unlike the per-tile surrogate
-    (:func:`tiled_forward`) this is exact and its rates are the true
-    single-stream rates.
+    The image is H-sharded over the mesh; the transform runs as a
+    ``shard_map`` whose boundary rows ride ``ppermute`` over ICI — no
+    margins, no re-encode overhead — while the subband AEs and the entropy
+    model run on the sharded subbands under GSPMD (pointwise AEs stay
+    local; the masked convs of the conditioned entropy models get their
+    halos from XLA's SPMD partitioner), and metrics reduce with global
+    means. Unlike the per-tile surrogate (:func:`tiled_forward`) this is
+    exact and its rates are the true single-stream rates.
+
+    Supported transforms:
+
+    - ``CDF97`` — :func:`halo_dwt97_2d` (ring ppermute == periodization),
+      bit-identical to the single-device ladder.
+    - ``LiftingBasedNeuralWaveletv4`` (the paper's main transform,
+      reference ``wavelet_forward_v2.py:58-81``) —
+      :func:`halo_lift2d_forward` / :func:`halo_lift2d_inverse`. The P/U
+      convs run in fp32 ``nn.Conv`` form here (identical params) so the
+      sharded result matches the unsharded fp32 ladder to float tolerance;
+      requires local rows >= the lifting halo radius at the deepest level
+      (single-hop neighbor exchange), i.e. H >= n_dev * 2^levels *
+      (4*(filtersize//2) + 1) — satisfied by the 2K/4K images this path
+      exists for.
 
     Enabled by ``cfg.halo_eval``; requires image heights divisible by
     ``n_devices * 2 ** dwtlevels``. Returns ``step(params, batch) ->
@@ -129,9 +142,9 @@ def make_halo_eval_step(cfg: Config, model, mesh: Mesh):
     from ..ops import color
     from ..train.loss import rd_loss3
 
-    if cfg.netType != "CDF97":
-        raise ValueError("halo_eval requires the fixed CDF97 transform "
-                         f"(netType={cfg.netType!r})")
+    if cfg.netType not in ("CDF97", "LiftingBasedNeuralWaveletv4"):
+        raise ValueError("halo_eval supports CDF97 and the learned lifting "
+                         f"transform (netType={cfg.netType!r})")
     levels = cfg.dwtlevels
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -164,16 +177,46 @@ def make_halo_eval_step(cfg: Config, model, mesh: Mesh):
                      for lv in range(levels)]
         return info_xe, info_xo, ll_hat, highs_hat
 
+    if cfg.netType == "CDF97":
+        fwd_transform = lambda params, y: halo_dwt97_2d(  # noqa: E731
+            y, mesh, levels, axis)
+        inv_transform = lambda params, ll, highs: halo_idwt97_2d(  # noqa: E731
+            ll, highs, mesh, axis)
+    else:
+        # Learned lifting: plain fp32 nn.Conv P/U blocks (same param tree as
+        # the FastConv5x5 training form) so the sharded ladder is float-
+        # equivalent to the unsharded fp32 transform.
+        import copy
+
+        from ..models.transforms import make_transform
+
+        cfg32 = copy.copy(cfg)
+        cfg32.dtype = "float32"
+        transform32 = make_transform(cfg32)
+
+        def _tparams(params):
+            if cfg.clrch == 3:
+                return [params["codec"]["transform"]]
+            return [params[f"codecs_{i}"]["transform"] for i in range(3)]
+
+        def fwd_transform(params, y):
+            return halo_lift2d_forward(cfg, transform32, _tparams(params), y,
+                                       mesh, axis)
+
+        def inv_transform(params, ll, highs):
+            return halo_lift2d_inverse(cfg, transform32, _tparams(params),
+                                       ll, highs, mesh, axis)
+
     @jax.jit
     def _step(params, x):
         if cfg.clrch == 3:
             y = x - 0.5
         else:
             y = color.shift_ycbcr(color.rgb_to_ycbcr(x))
-        ll, highs = halo_dwt97_2d(y, mesh, levels, axis)
+        ll, highs = fwd_transform(params, y)
         info_xe, info_xo, ll_hat, highs_hat = model.apply(
             {"params": params}, ll, highs, method=_subbands)
-        yhat = halo_idwt97_2d(ll_hat, highs_hat, mesh, axis)
+        yhat = inv_transform(params, ll_hat, highs_hat)
         if cfg.clrch == 3:
             xs, xhat = y, yhat
         else:
@@ -292,6 +335,175 @@ def halo_idwt97_2d(ll, highs, mesh: Mesh, axis: str = "data"):
     return shard_map(body, mesh=mesh,
                      in_specs=(spec,) * (len(highs) + 1),
                      out_specs=spec)(ll, *highs)
+
+
+def _ext_axis(t, r: int, ax: int, axis_name: str, n_dev: int):
+    """Concatenate ``r`` neighbor rows on each side of the sharded axis
+    ``ax`` via non-wrapping ``ppermute``: destinations without a source
+    (the global top/bottom devices) receive zeros — exactly the learned
+    ladder's zero padding at image boundaries."""
+    sl_last = [slice(None)] * t.ndim
+    sl_last[ax] = slice(-r, None)
+    sl_first = [slice(None)] * t.ndim
+    sl_first[ax] = slice(0, r)
+    from_prev = jax.lax.ppermute(
+        t[tuple(sl_last)], axis_name, [(i, i + 1) for i in range(n_dev - 1)])
+    from_next = jax.lax.ppermute(
+        t[tuple(sl_first)], axis_name, [(i, i - 1) for i in range(1, n_dev)])
+    return jnp.concatenate([from_prev, t, from_next], axis=ax)
+
+
+def _edge_mask(n_loc: int, r: int, ax: int, axis_name: str, n_dev: int):
+    """0/1 mask over an ``r``-extended sharded axis: zero on rows outside
+    the global array (only the edge devices see zeros). Multiplied onto
+    every conv input so the P/U blocks' SAME zero-padding is reproduced
+    exactly at global boundaries (conv biases would otherwise bleed into
+    the halo rows — see ``PBlock.__call__``)."""
+    idx = jax.lax.axis_index(axis_name)
+    g = jnp.arange(n_loc + 2 * r) - r + idx * n_loc
+    m = ((g >= 0) & (g < n_dev * n_loc)).astype(jnp.float32)
+    shape = [1, 1, 1, 1]
+    shape[ax] = n_loc + 2 * r
+    return m.reshape(shape)
+
+
+def _halo_lift_level_fwd(stage, x, axis_name: str, n_dev: int):
+    """One sharded 2D learned-lifting level (mirrors
+    ``ops/lifting.py::lift_level_forward``, same column-pass batching)."""
+    from ..ops.lifting import _split_rows
+
+    r = stage.halo_radius
+    R = r + 1
+    L, H = _split_rows(x)
+    n1 = L.shape[1]
+    if n1 < R:
+        raise ValueError(
+            f"halo lifting needs local rows >= {R} at every level "
+            f"(got {n1}); increase H or reduce devices/levels")
+    ext1 = lambda t: _ext_axis(t, R, 1, axis_name, n_dev)  # noqa: E731
+    m1 = _edge_mask(n1, R, 1, axis_name, n_dev)
+    L, H = stage.forward_halo_rows(L, H, ext1, m1, R)
+    b = x.shape[0]
+    T = jnp.concatenate([jnp.swapaxes(L, 1, 2), jnp.swapaxes(H, 1, 2)],
+                        axis=0)
+    Ls, Hs = _split_rows(T)          # splits axis 1 == W: device-local
+    n2 = Ls.shape[2]
+    ext2 = lambda t: _ext_axis(t, r, 2, axis_name, n_dev)  # noqa: E731
+    m2 = _edge_mask(n2, r, 2, axis_name, n_dev)
+    lo_t, hi_t = stage.forward_halo_cols(Ls, Hs, ext2, m2, r)
+    ll = jnp.swapaxes(lo_t[:b], 1, 2)
+    hl = jnp.swapaxes(hi_t[:b], 1, 2)
+    lh = jnp.swapaxes(lo_t[b:], 1, 2)
+    hh = jnp.swapaxes(hi_t[b:], 1, 2)
+    return ll, lh, hl, hh
+
+
+def _halo_lift_level_inv(stage, ll, lh, hl, hh, axis_name: str, n_dev: int):
+    """Exact inverse of :func:`_halo_lift_level_fwd`."""
+    from ..ops.lifting import _merge_rows
+
+    r = stage.halo_radius
+    R = r + 1
+    b = ll.shape[0]
+    lo_t = jnp.concatenate(
+        [jnp.swapaxes(ll, 1, 2), jnp.swapaxes(lh, 1, 2)], axis=0)
+    hi_t = jnp.concatenate(
+        [jnp.swapaxes(hl, 1, 2), jnp.swapaxes(hh, 1, 2)], axis=0)
+    n2 = lo_t.shape[2]
+    ext2 = lambda t: _ext_axis(t, r, 2, axis_name, n_dev)  # noqa: E731
+    m2 = _edge_mask(n2, r, 2, axis_name, n_dev)
+    merged = _merge_rows(*stage.inverse_halo_cols(lo_t, hi_t, ext2, m2, r))
+    L = jnp.swapaxes(merged[:b], 1, 2)
+    H = jnp.swapaxes(merged[b:], 1, 2)
+    n1 = L.shape[1]
+    ext1 = lambda t: _ext_axis(t, R, 1, axis_name, n_dev)  # noqa: E731
+    m1 = _edge_mask(n1, R, 1, axis_name, n_dev)
+    return _merge_rows(*stage.inverse_halo_rows(L, H, ext1, m1, R))
+
+
+def halo_lift2d_forward(cfg: Config, transform, tparams_list, y,
+                        mesh: Mesh, axis: str = "data"):
+    """Multi-level learned-lifting analysis of an H-sharded NHWC array.
+
+    ``transform``: an (unbound) ``LearnedLiftingTransform``;
+    ``tparams_list``: per-plane transform param trees (1 for joint RGB, 3
+    for YCbCr). Per lifting step, boundary slabs of ``halo_radius + 1``
+    rows ride ``ppermute`` over ICI; per-conv edge masks reproduce the
+    unsharded zero padding exactly (reference transform:
+    ``wavelet_forward_v2.py:58-81``). Returns ``(ll, highs)`` channel-
+    concatenated over planes, every array H-sharded.
+    """
+    from jax import shard_map
+
+    from ..ops import dwt97
+
+    levels = cfg.dwtlevels
+    n_dev = int(mesh.devices.size)
+    nplanes = len(tparams_list)
+    cpp = y.shape[-1] // nplanes
+
+    def run(mdl, xb):
+        ll = xb
+        highs = []
+        for lvl in range(levels):
+            ll, lh, hl, hh = _halo_lift_level_fwd(
+                mdl._stage(lvl), ll, axis, n_dev)
+            highs.append(dwt97.pack_details(lh, hl, hh))
+        return (ll, *highs)
+
+    def body(xb, *tps):
+        lls, packs = [], []
+        for i, tp in enumerate(tps):
+            out = transform.apply({"params": tp},
+                                  xb[..., i * cpp:(i + 1) * cpp], method=run)
+            lls.append(out[0])
+            packs.append(list(out[1:]))
+        ll = jnp.concatenate(lls, axis=-1)
+        highs = [jnp.concatenate([packs[i][lv] for i in range(nplanes)],
+                                 axis=-1) for lv in range(levels)]
+        return (ll, *highs)
+
+    spec = P(None, axis)
+    out = shard_map(body, mesh=mesh,
+                    in_specs=(spec,) + (P(),) * nplanes,
+                    out_specs=(spec,) * (levels + 1))(y, *tparams_list)
+    return out[0], list(out[1:])
+
+
+def halo_lift2d_inverse(cfg: Config, transform, tparams_list, ll, highs,
+                        mesh: Mesh, axis: str = "data"):
+    """Exact inverse of :func:`halo_lift2d_forward` (same contract)."""
+    from jax import shard_map
+
+    from ..ops import dwt97
+
+    levels = cfg.dwtlevels
+    n_dev = int(mesh.devices.size)
+    nplanes = len(tparams_list)
+    cpp = ll.shape[-1] // nplanes
+
+    def run(mdl, ll_p, *highs_p):
+        for lvl in range(levels - 1, -1, -1):
+            lh, hl, hh = dwt97.unpack_details(highs_p[lvl])
+            ll_p = _halo_lift_level_inv(
+                mdl._stage(lvl), ll_p, lh, hl, hh, axis, n_dev)
+        return ll_p
+
+    def body(ll_b, *rest):
+        highs_b = rest[:levels]
+        tps = rest[levels:]
+        outs = []
+        for i, tp in enumerate(tps):
+            outs.append(transform.apply(
+                {"params": tp}, ll_b[..., i * cpp:(i + 1) * cpp],
+                *[h[..., 3 * cpp * i:3 * cpp * (i + 1)] for h in highs_b],
+                method=run))
+        return jnp.concatenate(outs, axis=-1)
+
+    spec = P(None, axis)
+    return shard_map(body, mesh=mesh,
+                     in_specs=(spec,) * (levels + 1) + (P(),) * nplanes,
+                     out_specs=spec)(ll, *highs, *tparams_list)
 
 
 def halo_lift97_rows(x, mesh: Mesh, axis: str = "data"):

@@ -153,22 +153,26 @@ class CodecCoder:
 
     def _plc_memoized(self, plane: int, level: int, parent_np, evaluator):
         import hashlib
+        import threading
         from collections import OrderedDict
 
         if not hasattr(self, "_plc_memo"):
             self._plc_memo = OrderedDict()
             self._plc_memo_bytes = 0
+            self._plc_memo_lock = threading.Lock()
         key = (plane, level,
                hashlib.blake2b(parent_np.tobytes(), digest_size=16).digest())
-        hit = self._plc_memo.get(key)
+        with self._plc_memo_lock:
+            hit = self._plc_memo.get(key)
         if hit is None:
             hit = evaluator(parent_np)
-            self._plc_memo[key] = hit
-            self._plc_memo_bytes += hit.nbytes
-            while self._plc_memo_bytes > self._PLC_MEMO_BYTES \
-                    and len(self._plc_memo) > 1:
-                _, old = self._plc_memo.popitem(last=False)
-                self._plc_memo_bytes -= old.nbytes
+            with self._plc_memo_lock:
+                self._plc_memo[key] = hit
+                self._plc_memo_bytes += hit.nbytes
+                while self._plc_memo_bytes > self._PLC_MEMO_BYTES \
+                        and len(self._plc_memo) > 1:
+                    _, old = self._plc_memo.popitem(last=False)
+                    self._plc_memo_bytes -= old.nbytes
         return hit
 
     def _native_pixelcnn_eval(self, plane: int, kind: str):
@@ -615,6 +619,30 @@ class CodecCoder:
         mse = float(np.mean((batch - xhat) ** 2))
         psnr = float(-10.0 * np.log10(max(mse, 1e-12)))
         return CodecResult(xhat, bpp, psnr, streams)
+
+
+    def compress_decompress_many(self, images, workers: int = 2
+                                 ) -> List[CodecResult]:
+        """Image-parallel coding harness (VERDICT r3 item 3): pipeline N
+        single-image round trips so one image's host-CPU coding work (rANS,
+        native context walks) overlaps another's accelerator dispatches —
+        on the tunneled backend the per-dispatch RTT otherwise serializes
+        with host work. The first image runs alone to build the jit/native
+        caches; the rest run under a thread pool. Results keep input order;
+        streams are identical to sequential coding (each image's round trip
+        is self-contained)."""
+        if not images:
+            return []
+        first = self.compress_decompress(images[0])
+        rest = list(images[1:])
+        if not rest:
+            return [first]
+        if workers <= 1:
+            return [first] + [self.compress_decompress(im) for im in rest]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            out = list(pool.map(self.compress_decompress, rest))
+        return [first] + out
 
 
 def _pack_chunks(chunks) -> bytes:

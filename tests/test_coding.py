@@ -99,3 +99,19 @@ def test_onlyezwt_learned_upsampler_roundtrip():
     em = coder.params["codec"]["entropymodel"]
     assert "ups_0" in em and "ups_1" in em  # learned path actually active
     _roundtrip_subbands(cfg, coder, img)
+
+
+def test_compress_decompress_many_matches_sequential():
+    """The image-pipelined batch harness produces byte-identical streams
+    and identical reconstructions to one-at-a-time coding."""
+    cfg, coder, img = _setup("onlyEZWT")
+    img2 = synthetic_images(1, 32, seed=4)[0][None].astype(np.float32) / 255.0
+    img3 = synthetic_images(1, 32, seed=5)[0][None].astype(np.float32) / 255.0
+    images = [img, img2, img3]
+    seq = [coder.compress_decompress(im) for im in images]
+    many = coder.compress_decompress_many(images, workers=2)
+    for a, b in zip(seq, many):
+        np.testing.assert_array_equal(a.xhat, b.xhat)
+        assert a.bpp == b.bpp
+        assert [s.xe for s in a.streams] == [s.xe for s in b.streams]
+        assert [s.xo for s in a.streams] == [s.xo for s in b.streams]

@@ -362,7 +362,15 @@ def _interleave_cosets(ee, eo, oe, oo):
 class ZTBlock(nn.Module):
     """Polyphase-coset zerotree model: each subband's 4 cosets are coded in
     sequence, each conditioned on the parent subband + earlier cosets =>
-    decode is 4 batched conv evaluations per subband instead of H*W steps."""
+    decode is 4 batched conv evaluations per subband instead of H*W steps.
+
+    Compile-cost note (measured, 1-core XLA-CPU, dwtlevels=4): the training
+    forward traces (L-1)*3*clrch channels x 4 cosets x 2 dep-nets — 360
+    tiny convs at clrch=1 (lower 7s / compile 23s) and 1080 at clrch=3
+    (lower 18s / compile 62s). Cost scales ~linearly in clrch (the graph is
+    wide, not deep), so joint-RGB ZTBlock is a one-minute one-off compile,
+    not a blow-up; ``tests/test_entropy.py::test_ztblock_clrch3_lowers``
+    keeps a lid on it."""
 
     cfg: Config
 

@@ -1,0 +1,389 @@
+"""Same-corpus head-to-head: the ACTUAL torch reference vs the rebuild.
+
+VERDICT r3 item 1b. The forward- and one-train-step parity tests prove the
+two implementations compute the same function and the same gradients; this
+script proves the rebuild *trains* like the reference over thousands of
+steps: both sides start from the SAME imported initialization, consume the
+IDENTICAL deterministic batch stream from the same synthetic corpus, run
+the same loss (``TrainRDLoss.forward3``, reference ``rate_dist.py:35-42``)
+under plain Adam (reference ``agents/liftingDWT_agent.py:96-98,369-389``),
+and are evaluated with the same surrogate protocol (round-quantize entropy
+rate + PSNR of the clamped reconstruction, reference ``validate()``
+``liftingDWT_agent.py:154-201``) on the same held-out images at paired
+milestones.
+
+Run on CPU (the torch reference has no TPU path; pinning both sides to the
+same host removes device-numerics as a variable):
+
+  JAX_PLATFORMS=cpu python scripts/headtohead.py --entropy factorized \
+      --steps 4000 --lam 400
+  JAX_PLATFORMS=cpu python scripts/headtohead.py --entropy ztsep \
+      --steps 2500 --lam 400
+
+Writes/updates ``results/rd_headtohead.json`` after every paired milestone
+(safe to interrupt). Pass criterion (BASELINE RD-parity target):
+|d bpp| <= 0.02 and |d PSNR| <= 0.05 at the final milestone.
+
+Documented matched-setting choices:
+- RD loss from step 0 on BOTH sides (the reference's D-only warmup switches
+  at iter-MSE < 0.0015 == PSNR 28 dB, which a lambda=400 operating point
+  never reaches — the sweeps run already-switched, so does this).
+- Quantization noise is drawn independently per side (it enters in
+  expectation only); everything else — init, batches, lr, loss — is
+  matched exactly.
+- The rebuild also trains EntropyBottleneck quantiles via the aux loss
+  (stop-gradient separated); the reference's agent never backwards aux, so
+  its quantiles stay at init (see test_ref_parity_train.py). This only
+  moves eval-mode quantization offsets (medians), not the learned CDFs.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+import numpy as np  # noqa: E402
+
+from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
+
+enable_compile_cache()
+
+LR = 1e-4
+BATCH = 8
+PATCH = 64
+SEED_STREAM = 1000  # batch-stream seed base (disjoint from corpus seeds)
+
+
+def make_cfg(entropy: str, lam: float):
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.config import (
+        Config)
+
+    entropy_layer = {"factorized": "factorized",
+                     "ztsep": "conditioned2ZTsepSubbands"}[entropy]
+    # clrch=1 (3 per-channel YCbCr models) like the paper's configs
+    # (liftingDWT.json:11): the reference's lifting transform is broken for
+    # clrch=3 (preProcessBlock convs hardcode 1 channel — the documented
+    # weight-shape bug), so joint-RGB cannot run on the torch side.
+    return Config(
+        exp_name=f"h2h_{entropy}", netType="LiftingBasedNeuralWaveletv4",
+        entropy_layer=entropy_layer, autoencoder="SubbandAutoEncoder",
+        clrch=1, dwtlevels=3, num_lifting_perlayer=2, filtersize=5,
+        depth_scale=2, block_property="same", scale=1, linearity_flag=1,
+        res_connection_weight=0.1, dtype="float32", learning_rate=LR,
+        lambda_=lam, grad_acc_iters=1, batch_size=BATCH, patch_size=PATCH)
+
+
+class BatchStream:
+    """Deterministic crop stream both frameworks consume identically.
+
+    step t -> RandomState(SEED_STREAM + t) draws (image, y, x) per batch
+    element from the in-RAM corpus (mirrors the reference's
+    RandomCrop-only augmentation, ``dataloaders/image_dl.py:92-105``).
+    """
+
+    def __init__(self, train_dir: str):
+        from PIL import Image
+
+        files = sorted(os.path.join(train_dir, f)
+                       for f in os.listdir(train_dir) if f.endswith(".png"))
+        self.imgs = np.stack([np.asarray(Image.open(f).convert("RGB"))
+                              for f in files])  # (N,256,256,3) uint8
+
+    def batch(self, step: int) -> np.ndarray:
+        """(B,PATCH,PATCH,3) float32 RGB in [0, 1]; the color policy
+        (YCbCr split + Y shift) is applied inside each side's step."""
+        rng = np.random.RandomState(SEED_STREAM + step)
+        n, hh, ww, _ = self.imgs.shape
+        idx = rng.randint(0, n, size=BATCH)
+        ys = rng.randint(0, hh - PATCH + 1, size=BATCH)
+        xs = rng.randint(0, ww - PATCH + 1, size=BATCH)
+        out = np.stack([self.imgs[i, y:y + PATCH, x:x + PATCH]
+                        for i, y, x in zip(idx, ys, xs)])
+        return out.astype(np.float32) / 255.0
+
+
+def eval_images(eval_dir: str, n: int, crop: int):
+    from PIL import Image
+
+    files = sorted(os.path.join(eval_dir, f)
+                   for f in os.listdir(eval_dir) if f.endswith(".png"))[:n]
+    out = []
+    for f in files:
+        img = np.asarray(Image.open(f).convert("RGB"))
+        h, w, _ = img.shape
+        if crop:
+            y0, x0 = (h - min(h, crop)) // 2, (w - min(w, crop)) // 2
+            img = img[y0:y0 + crop, x0:x0 + crop]
+            h, w, _ = img.shape
+        img = img[: h - h % 64, : w - w % 64]
+        out.append(img.astype(np.float32)[None] / 255.0)
+    return out
+
+
+def to_nchw(x):
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (0, 3, 1, 2)))
+
+
+# ---------------------------------------------------------------- torch side
+
+class TorchSide:
+    """The reference, loaded from /root/reference via the oracle harness
+    (same modules the parity tests exercise; compressai entropy models are
+    the oracle's parity-tested stubs since compressai is not installed).
+
+    Color policy mirrors the reference agent's clrch==1 branch exactly
+    (``liftingDWT_agent.py:85-94``): RGB -> compressai-style YCbCr (Cb/Cr
+    offset +0.5), subtract 0.5 from Y only, model, add back, YCbCr -> RGB,
+    loss on the -0.5-shifted RGB pair.
+    """
+
+    def __init__(self, cfg, lam: float):
+        import torch
+        from oracle_ref import (load_reference, load_reference_losses,
+                                ref_config_from)
+
+        self.torch = torch
+        M = load_reference()
+        torch.manual_seed(0)
+        self.model = M.LiftingBasedDWTNetWrapper(ref_config_from(cfg))
+        self.model.train()
+        self.loss = load_reference_losses().TrainRDLoss(lam)
+        params = dict(self.model.named_parameters())
+        names = sorted(n for n, p in params.items() if p.requires_grad)
+        self.opt = torch.optim.Adam([{"params": [params[n] for n in names],
+                                      "lr": LR}])
+        self.yshift = torch.tensor([[[0.5]], [[0.0]], [[0.0]]])
+
+    def init_state_dict(self):
+        return {k: v.detach().numpy().copy()
+                for k, v in self.model.state_dict().items()}
+
+    def _rgb2ycbcr(self, x):
+        """compressai.transforms RGB2YCbCr semantics (NCHW, [0,1])."""
+        r, g, b = x[:, 0], x[:, 1], x[:, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 0.5 * (b - y) / (1.0 - 0.114) + 0.5
+        cr = 0.5 * (r - y) / (1.0 - 0.299) + 0.5
+        return self.torch.stack([y, cb, cr], dim=1)
+
+    def _ycbcr2rgb(self, x):
+        y, cb, cr = x[:, 0], x[:, 1], x[:, 2]
+        r = y + 2.0 * (1.0 - 0.299) * (cr - 0.5)
+        b = y + 2.0 * (1.0 - 0.114) * (cb - 0.5)
+        g = (y - 0.299 * r - 0.114 * b) / 0.587
+        return self.torch.stack([r, g, b], dim=1)
+
+    def _forward(self, xt):
+        """clrch==1 pre/post handling -> (x_shifted, xhat_shifted, ixe, ixo)."""
+        yt = self._rgb2ycbcr(xt) - self.yshift
+        yhat, ixe, ixo = self.model(yt)
+        xhat = self._ycbcr2rgb(yhat + self.yshift)
+        return xt - 0.5, xhat - 0.5, ixe, ixo
+
+    def train_steps(self, stream, t0: int, t1: int):
+        torch = self.torch
+        self.model.train()
+        for t in range(t0, t1):
+            self.opt.zero_grad()
+            xt = torch.from_numpy(to_nchw(stream.batch(t)))
+            xs, xhat, ixe, ixo = self._forward(xt)
+            rd, mse, r1, r2 = self.loss.forward3(xs, xhat, ixe, ixo)
+            rd.backward()
+            self.opt.step()
+        return float(rd), float(mse)
+
+    def evaluate(self, imgs):
+        torch = self.torch
+        self.model.eval()
+        bpps, psnrs = [], []
+        with torch.no_grad():
+            for x in imgs:
+                xt = torch.from_numpy(to_nchw(x))
+                xs, xhat, ixe, ixo = self._forward(xt)
+                bpp = float(sum(i.sum() for i in [ixe] + list(ixo))
+                            / xt.numel() * 3.0)
+                xc = xhat.clamp(-0.5, 0.5)
+                mse = float(((xs - xc) ** 2).mean())
+                bpps.append(bpp)
+                psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+        self.model.train()
+        return float(np.mean(bpps)), float(np.mean(psnrs))
+
+
+# ------------------------------------------------------------------ jax side
+
+class JaxSide:
+    """The rebuild, using the production train-step semantics
+    (``train/state.py``: Adam via make_optimizer, rd_loss3 + aux)."""
+
+    def __init__(self, cfg, lam: float, init_sd):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.models.codec import (
+            CodecWrapper)
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.tools import (
+            weight_import)
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.loss import (
+            rd_loss3)
+        from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state import (
+            apply_color_forward)
+
+        self.jax, self.jnp = jax, jnp
+        self.model = CodecWrapper(cfg)
+        x0 = jnp.zeros((BATCH, PATCH, PATCH, 3), jnp.float32)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(1)}, x0, True)
+        self.params, unmatched = weight_import.import_state_dict(
+            cfg, variables["params"], init_sd)
+        assert unmatched == [], f"unmapped init keys: {unmatched[:8]}"
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=LR)
+        self.opt_state = self.tx.init(self.params)
+
+        def train_step(params, opt_state, x, rng):
+            def loss_fn(p):
+                xs, xhat, ixe, ixo, aux = apply_color_forward(
+                    cfg, self.model, p, x, True, rng)
+                out = rd_loss3(xs, xhat, ixe, ixo, lam, 1.0)
+                return out.loss + aux, out
+
+            grads, out = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, out.loss, out.mse
+
+        def eval_fwd(params, x):
+            xs, xhat, ixe, ixo, _ = apply_color_forward(
+                cfg, self.model, params, x, False, None)
+            bpp = jnp.sum(ixe) / x.size * 3.0
+            for i in ixo:
+                bpp = bpp + jnp.sum(i) / x.size * 3.0
+            mse = jnp.mean((xs - jnp.clip(xhat, -0.5, 0.5)) ** 2)
+            return bpp, mse
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_fwd = jax.jit(eval_fwd)
+
+    def train_steps(self, stream, t0: int, t1: int):
+        jax, jnp = self.jax, self.jnp
+        for t in range(t0, t1):
+            x = jnp.asarray(stream.batch(t))
+            rng = jax.random.fold_in(jax.random.PRNGKey(7), t)
+            self.params, self.opt_state, loss, mse = self.train_step(
+                self.params, self.opt_state, x, rng)
+        return float(loss), float(mse)
+
+    def evaluate(self, imgs):
+        bpps, psnrs = [], []
+        for x in imgs:
+            bpp, mse = self.eval_fwd(self.params, self.jnp.asarray(x))
+            bpps.append(float(bpp))
+            psnrs.append(-10 * np.log10(max(float(mse), 1e-12)))
+        return float(np.mean(bpps)), float(np.mean(psnrs))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entropy", choices=("factorized", "ztsep"),
+                    required=True)
+    ap.add_argument("--lam", type=float, default=400.0)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--eval-n", type=int, default=8,
+                    help="held-out images per milestone eval")
+    ap.add_argument("--final-eval-n", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # see module docstring
+
+    from rd_sweep import build_dirs
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.utils.heartbeat import (
+        Heartbeat)
+
+    beat = Heartbeat().beat
+
+    train_dir, eval_dir = build_dirs(ROOT)
+    stream = BatchStream(train_dir)
+    mile_imgs = eval_images(eval_dir, args.eval_n, crop=256)
+    cfg = make_cfg(args.entropy, args.lam)
+
+    out_path = os.path.join(ROOT, "results", "rd_headtohead.json")
+    results = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    entry = results.setdefault(args.entropy, {})
+    entry["config"] = dict(
+        lam=args.lam, steps=args.steps, batch=BATCH, patch=PATCH,
+        dwtlevels=cfg.dwtlevels, clrch=cfg.clrch,
+        netType=cfg.netType, entropy_layer=cfg.entropy_layer,
+        autoencoder=cfg.autoencoder, lr=LR,
+        eval_milestone_images=args.eval_n, eval_crop=256)
+    entry["milestones"] = []
+
+    def write():
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, out_path)
+
+    print(f"[h2h] building torch side ({args.entropy})", flush=True)
+    tside = TorchSide(cfg, args.lam)
+    init_sd = tside.init_state_dict()
+    print("[h2h] building jax side (same imported init)", flush=True)
+    jside = JaxSide(cfg, args.lam, init_sd)
+
+    t = 0
+    while t < args.steps:
+        t1 = min(t + args.eval_every, args.steps)
+        tic = time.time()
+        tl, tm = tside.train_steps(stream, t, t1)
+        t_train = time.time() - tic
+        beat()
+        tic = time.time()
+        jl, jm = jside.train_steps(stream, t, t1)
+        j_train = time.time() - tic
+        beat()
+        t = t1
+        tb, tp = tside.evaluate(mile_imgs)
+        jb, jp = jside.evaluate(mile_imgs)
+        beat()
+        ms = dict(step=t,
+                  torch=dict(bpp=round(tb, 5), psnr=round(tp, 3),
+                             train_loss=round(tl, 5)),
+                  jax=dict(bpp=round(jb, 5), psnr=round(jp, 3),
+                           train_loss=round(jl, 5)),
+                  d_bpp=round(jb - tb, 5), d_psnr=round(jp - tp, 3),
+                  torch_s_per_step=round(t_train / args.eval_every, 3),
+                  jax_s_per_step=round(j_train / args.eval_every, 3))
+        entry["milestones"].append(ms)
+        write()
+        print(f"[h2h] step {t}: torch ({tb:.4f} bpp, {tp:.2f} dB) "
+              f"jax ({jb:.4f} bpp, {jp:.2f} dB) "
+              f"d=({jb - tb:+.4f}, {jp - tp:+.3f})", flush=True)
+
+    final_imgs = eval_images(eval_dir, args.final_eval_n, crop=0)
+    tb, tp = tside.evaluate(final_imgs)
+    beat()
+    jb, jp = jside.evaluate(final_imgs)
+    entry["final"] = dict(
+        eval_images=len(final_imgs), step=args.steps,
+        torch=dict(bpp=round(tb, 5), psnr=round(tp, 3)),
+        jax=dict(bpp=round(jb, 5), psnr=round(jp, 3)),
+        d_bpp=round(jb - tb, 5), d_psnr=round(jp - tp, 3),
+        passed=bool(abs(jb - tb) <= 0.02 and abs(jp - tp) <= 0.05))
+    write()
+    print(f"[h2h] FINAL {args.entropy}: torch ({tb:.4f}, {tp:.2f}) "
+          f"jax ({jb:.4f}, {jp:.2f}) d=({jb - tb:+.4f}, {jp - tp:+.3f}) "
+          f"passed={entry['final']['passed']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

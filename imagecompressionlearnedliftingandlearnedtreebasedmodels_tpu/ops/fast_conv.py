@@ -158,6 +158,65 @@ def conv5x5_s2d(x, kernel, bias=None, dtype=jnp.bfloat16):
     return y
 
 
+def grouped_conv1x1_einsum(x, kernel, bias=None, groups=1,
+                           dtype=jnp.bfloat16):
+    """Grouped 1x1 conv as a block-diagonal batched matmul.
+
+    XLA lowers ``feature_group_count`` convs through a generic grouped-conv
+    path that leaves the MXU underfed for the entropy model's per-subband
+    1x1 stacks (3 groups of 162-wide channels). Recasting as a batched
+    matmul ``(G, BHW, Cin/G) @ (G, Cin/G, Cout/G)`` gives XLA a plain
+    batch-matmul it tiles well. kernel: (1, 1, Cin/G, Cout) (flax grouped
+    layout, output groups consecutive); fp32 output.
+    """
+    b, h, w, c = x.shape
+    in_g = c // groups
+    out = kernel.shape[-1]
+    out_g = out // groups
+    xg = (x.astype(dtype).reshape(b * h * w, groups, in_g)
+          .transpose(1, 0, 2))                            # (G, BHW, in_g)
+    km = (kernel.reshape(in_g, groups, out_g).transpose(1, 0, 2)
+          .astype(dtype))                                 # (G, in_g, out_g)
+    y = jnp.einsum("gni,gio->gno", xg, km,
+                   preferred_element_type=jnp.float32)
+    y = y.transpose(1, 0, 2).reshape(b, h, w, out)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def grouped_conv_taps(x, kernel, bias=None, groups=1, dtype=jnp.bfloat16):
+    """Grouped SAME kxk conv as a T-tap transposed-im2col batched matmul
+    ``(G, BHW, T*Cin/G) @ (G, T*Cin/G, Cout/G)``.
+
+    Built for the ZTsep csc context conv (masked 5x5, 3 groups of 1->81):
+    the grouped-conv lowering with one input channel per group starves the
+    MXU; as a batched matmul the contraction axis is the tap count. Masks
+    are handled by the caller pre-zeroing kernel taps (same trace-time fold
+    as :func:`ops.masked_conv.masked_conv2d`). kernel: (kh, kw, Cin/G, Cout).
+    """
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape[:2]
+    in_g = c // groups
+    out = kernel.shape[-1]
+    out_g = out // groups
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [xp[:, i:i + h, j:j + w, :]
+            for i in range(kh) for j in range(kw)]       # T x (B,H,W,C)
+    # (B,H,W,T,G,in_g) -> (G, BHW, T*in_g)
+    p = jnp.stack(cols, axis=3).reshape(b * h * w, kh * kw, groups, in_g)
+    p = p.transpose(2, 0, 1, 3).reshape(groups, b * h * w, kh * kw * in_g)
+    km = (kernel.astype(dtype).reshape(kh * kw, in_g, groups, out_g)
+          .transpose(2, 0, 1, 3).reshape(groups, kh * kw * in_g, out_g))
+    y = jnp.einsum("gnk,gko->gno", p, km,
+                   preferred_element_type=jnp.float32)
+    y = y.transpose(1, 0, 2).reshape(b, h, w, out)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class FastConv5x5(nn.Module):
     """Drop-in for ``nn.Conv(features, (5,5), padding='SAME')`` using the
     space-to-depth polyphase path. Param names/shapes identical to

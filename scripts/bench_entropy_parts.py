@@ -65,18 +65,10 @@ def csc_lax(x, kernel):
 
 
 def csc_taps(x, kernel):
-    """25-tap im2colT: per-group (BHW, 25) @ (25, 81) batched matmul."""
-    mask = jnp.asarray(causal_mask((5, 5), "A"), DT)
-    k = (kernel.astype(DT) * mask[:, :, None, None])  # (5,5,1,243)
-    k = k.reshape(25, G, CPG).transpose(1, 0, 2)      # (G,25,CPG)
-    b, h, w, c = x.shape
-    xp = jnp.pad(x.astype(DT), ((0, 0), (2, 2), (2, 2), (0, 0)))
-    cols = [xp[:, i:i + h, j:j + w, :] for i in range(5) for j in range(5)]
-    # (B,H,W,25,G) -> (G, BHW, 25)
-    p = jnp.stack(cols, axis=-2).reshape(b * h * w, 25, G).transpose(2, 0, 1)
-    y = jnp.einsum("gnt,gto->gno", p, k,
-                   preferred_element_type=jnp.float32)  # (G,BHW,CPG)
-    return y.transpose(1, 0, 2).reshape(b, h, w, G * CPG)
+    """25-tap im2colT batched matmul (the shipping fast path)."""
+    mask = jnp.asarray(causal_mask((5, 5), "A"), kernel.dtype)
+    k = kernel * mask[:, :, None, None]
+    return fast_conv.grouped_conv_taps(x, k, None, groups=G, dtype=DT)
 
 
 # ---------------------------------------------------------------- cgp
@@ -96,16 +88,12 @@ def cgp_lax(x, kernels):
 
 
 def cgp_einsum(x, kernels):
-    b, h, w, c = x.shape
-    y = x.astype(DT).reshape(b * h * w, G, c // G).transpose(1, 0, 2)
-    for k in kernels:   # k: (1,1,cin/G,cout)
-        cin_g = k.shape[2]
-        km = k.reshape(cin_g, G, -1).transpose(1, 0, 2).astype(DT)  # (G,i,o)
-        y = jnp.einsum("gni,gio->gno", y, km)
+    """Block-diagonal einsum chain (the shipping fast path)."""
+    y = x
+    for k in kernels:
+        y = fast_conv.grouped_conv1x1_einsum(y, k, None, groups=G, dtype=DT)
         y = jax.nn.leaky_relu(y)
-    co = y.shape[-1]
-    return (y.transpose(1, 0, 2).reshape(b, h, w, G * co)
-            .astype(jnp.float32))
+    return y.astype(jnp.float32)
 
 
 def main():

@@ -101,3 +101,47 @@ def test_fast_conv5x5_differentiable_bf16():
                for t in jax.tree_util.tree_leaves(g))
     gx = jax.grad(loss, argnums=1)(v, x)
     assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_grouped_conv1x1_einsum_matches_lax():
+    """Block-diagonal einsum == lax grouped 1x1 conv (fp32 exactness)."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+        grouped_conv1x1_einsum)
+
+    rng = np.random.RandomState(0)
+    G, cin, cout = 3, 486, 162
+    x = jnp.asarray(rng.randn(2, 6, 7, cin).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, cin // G, cout).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=G) + b
+    got = grouped_conv1x1_einsum(x, k, b, groups=G, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_grouped_conv_taps_matches_lax():
+    """T-tap batched matmul == lax grouped SAME conv, incl. mask pre-fold
+    (the csc 5x5-A shape) and a 3x3 multi-input-channel case."""
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.fast_conv import (
+        grouped_conv_taps)
+    from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.ops.masked_conv import (
+        causal_mask)
+
+    rng = np.random.RandomState(1)
+    for (kh, G, cin, cout, mask_type) in ((5, 3, 3, 243, "A"),
+                                          (3, 3, 12, 24, None)):
+        x = jnp.asarray(rng.randn(2, 8, 10, cin).astype(np.float32))
+        k = jnp.asarray(
+            rng.randn(kh, kh, cin // G, cout).astype(np.float32) * 0.1)
+        if mask_type:
+            m = jnp.asarray(causal_mask((kh, kh), mask_type))
+            k = k * m[:, :, None, None]
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=G) + b
+        got = grouped_conv_taps(x, k, b, groups=G, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)

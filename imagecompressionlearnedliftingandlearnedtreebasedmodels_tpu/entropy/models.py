@@ -72,12 +72,18 @@ class _ConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.fast_conv import FastConv3x3
+        from ..ops.fast_conv import FastConv3x3, FastGroupedConv1x1
         for i, (f, k) in enumerate(zip(self.features, self.kernels)):
             if self.dtype is not None and k == 3 and self.groups == 1:
                 # MXU-oriented path for the FLOP-heavy dense 3x3 convs;
                 # named Conv_{i} so the param tree matches nn.Conv exactly
                 x = FastConv3x3(f, dtype=self.dtype, name=f"Conv_{i}")(x)
+            elif self.dtype is not None and k == 1 and self.groups > 1:
+                # grouped 1x1 chains (the ZTsep cgp fusion): batched-matmul
+                # lowering on large planes, lax on coding-path patch evals
+                x = FastGroupedConv1x1(f, groups=self.groups,
+                                       dtype=self.dtype,
+                                       name=f"Conv_{i}")(x)
             else:
                 x = nn.Conv(f, (k, k), padding="SAME", dtype=self.dtype,
                             feature_group_count=self.groups,

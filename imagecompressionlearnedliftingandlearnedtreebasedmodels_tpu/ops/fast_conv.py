@@ -217,6 +217,40 @@ def grouped_conv_taps(x, kernel, bias=None, groups=1, dtype=jnp.bfloat16):
     return y
 
 
+class FastGroupedConv1x1(nn.Module):
+    """Drop-in for ``nn.Conv(features, (1,1), feature_group_count=G)``
+    (param names/shapes identical: kernel (1,1,Cin/G,Cout), bias (Cout,)).
+
+    Dispatches large planes to the block-diagonal batched matmul
+    (:func:`grouped_conv1x1_einsum`); small inputs (the coding path's patch
+    evals) and anything under :func:`disable_pallas` keep the lax grouped
+    conv so pinned-stream arithmetic is unchanged."""
+
+    features: int
+    groups: int
+    dtype: object = jnp.bfloat16
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin // self.groups, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if (x.shape[1] * x.shape[2] >= 4096) and not pallas_disabled():
+            return grouped_conv1x1_einsum(x, kernel, bias,
+                                          groups=self.groups,
+                                          dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class FastConv5x5(nn.Module):
     """Drop-in for ``nn.Conv(features, (5,5), padding='SAME')`` using the
     space-to-depth polyphase path. Param names/shapes identical to

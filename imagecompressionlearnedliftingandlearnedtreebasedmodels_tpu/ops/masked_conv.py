@@ -78,12 +78,33 @@ class MaskedConv2d(nn.Module):
         )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if self._use_taps(x):
+            # Whole-plane grouped context convs (the ZTsep csc): the
+            # feature_group_count lowering starves the MXU with one input
+            # channel per group; the T-tap batched matmul is ~MXU-shaped.
+            # Gated to large planes so the coding path's tiny patch evals
+            # (5x5/11x11 windows, and anything under disable_pallas) keep
+            # the original lax arithmetic that pinned streams were encoded
+            # with.
+            from .fast_conv import grouped_conv_taps
+            mask = jnp.asarray(causal_mask((kh, kw), self.mask_type),
+                               kernel.dtype)
+            return grouped_conv_taps(
+                x, kernel * mask[:, :, None, None], bias,
+                groups=self.feature_group_count, dtype=self.dtype)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype) if bias is not None else None
         return masked_conv2d(x, kernel, bias, self.mask_type,
                              self.feature_group_count)
+
+    def _use_taps(self, x) -> bool:
+        from .fast_conv import pallas_disabled
+        return (self.dtype is not None
+                and self.feature_group_count > 1
+                and x.shape[1] * x.shape[2] >= 4096
+                and not pallas_disabled())
 
 
 class ChannelIncrementalConv2d(nn.Module):

@@ -177,6 +177,13 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
         cfg = Config(netType="CDF97", entropy_layer="factorized",
                      autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=4,
                      **common)
+    elif preset == "quincunx":
+        # integer-lifting operating point (VERDICT r3 item 7): quincunx
+        # split + lif_prec_bits>0 eval-time rounding grid (reference
+        # ``lifting_nets.py:196-203``) through the REAL bitstream
+        cfg = Config(netType="QuincunxLifting", entropy_layer="factorized",
+                     autoencoder="none", clrch=3, dwtlevels=3,
+                     split_mode="hv", lif_prec_bits=8, **common)
     else:
         raise ValueError(preset)
     cfg.checkpoint_dir = os.path.join(exp, "checkpoints")
@@ -189,7 +196,7 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=("cdf97", "flagship"),
+    ap.add_argument("--preset", choices=("cdf97", "flagship", "quincunx"),
                     required=True)
     ap.add_argument("--lambdas", type=str, required=True)
     ap.add_argument("--steps", type=int, default=4000)

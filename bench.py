@@ -93,11 +93,23 @@ def _stop_background_runs():
         except OSError:
             return False
         return any(k in cmd for k in
-                   ("supervisor", "rd_sweep", "probe_train_speed"))
+                   ("supervisor", "rd_sweep", "probe_train_speed",
+                    "tpu_queue", "postprocess_gain"))
+
+    # Queue shells (serialized job runners, /tmp/tpu_queue*.pid) would
+    # launch their NEXT job right after we stop the current one — drop the
+    # stop-file first (queues exit at the next job boundary) and stop the
+    # shells before their supervised children.
+    try:
+        with open("/tmp/queue_stop", "w") as fh:
+            fh.write("bench\n")
+    except OSError:
+        pass
 
     killed = False
-    for pidfile in sorted(set(glob.glob("/tmp/rd_sweep*.pid")
-                              + glob.glob("/tmp/probe*.pid"))):
+    for pidfile in sorted(set(glob.glob("/tmp/tpu_queue*.pid"))) + \
+            sorted(set(glob.glob("/tmp/rd_sweep*.pid")
+                       + glob.glob("/tmp/probe*.pid"))):
         try:
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):

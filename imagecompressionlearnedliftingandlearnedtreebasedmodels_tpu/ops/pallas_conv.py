@@ -152,7 +152,15 @@ conv3x3_halo.defvjp(_fwd, _bwd)
 
 def supported(x_shape, cin: int, cout: int, dsize: int = 2) -> bool:
     """Shapes where the fused kernel beats the im2colT path (and fits the
-    VMEM budget — pathological width/channel combinations fall back)."""
+    VMEM budget — pathological width/channel combinations fall back).
+
+    The spatial floor is measured, not modeled: at the flagship's finest
+    level ((8,256,384), HW=98k) the fused kernel wins 1.0-1.6x, but one
+    pyramid level down ((8,128,192), HW=24k) the im2colT matmul runs 1.45x
+    FASTER (55 vs 38 TF/s — the whole im2col buffer is cache/VMEM-friendly
+    at that size while the kernel's per-tile overheads stop amortizing), so
+    mid-pyramid shapes stay on im2colT (`scripts/bench_pallas_conv.py`)."""
     _, h, w, _ = x_shape
     return (cin >= 32 and cout >= 32 and h >= 2 and (w % 8) == 0
+            and h * w >= 65536
             and _pick_tile_h(h, w, cin, cout, dsize) > 0)

@@ -96,6 +96,12 @@ def _stop_background_runs():
                    ("supervisor", "rd_sweep", "probe_train_speed",
                     "tpu_queue", "postprocess_gain"))
 
+    # BENCH_KEEP_BG=1: interactive mid-session measurement with the queue
+    # deliberately idle/paused — skip the cleanup (the unattended driver
+    # run at round end never sets it).
+    if os.environ.get("BENCH_KEEP_BG") == "1":
+        return
+
     # Queue shells (serialized job runners, /tmp/tpu_queue*.pid) would
     # launch their NEXT job right after we stop the current one — drop the
     # stop-file first (queues exit at the next job boundary) and stop the

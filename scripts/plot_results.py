@@ -24,6 +24,7 @@ SERIES = [
     ("jpeg_anchor", "JPEG (PIL)", "#7f7f7f", "--"),
     ("jpeg2000_anchor", "JPEG 2000 (OpenJPEG)", "#009E73", "--"),
     ("rd_cdf97", "CDF 9/7 + factorized", "#56B4E9", "-"),
+    ("rd_quincunx", "Quincunx integer lifting + factorized", "#CC79A7", "-"),
     ("rd_flagship", "Lifting v4 + ZTsepSubbands", "#D55E00", "-"),
 ]
 
@@ -37,8 +38,14 @@ def load_points(name):
             if d.get(name):
                 return sorted((b, p) for b, p in d[name])
         return []
-    d = json.load(open(os.path.join(ROOT, "results", f"{name}.json")))
-    return sorted((v["bpp"], v["psnr"]) for v in d["points"].values())
+    path = os.path.join(ROOT, "results", f"{name}.json")
+    if not os.path.exists(path):
+        return []
+    d = json.load(open(path))
+    # stale_eval_set points were measured on a different held-out set —
+    # never mix them into plotted curves or BD-rate inputs
+    return sorted((v["bpp"], v["psnr"]) for v in d["points"].values()
+                  if not v.get("stale_eval_set"))
 
 
 def cross_bd_rates():
@@ -72,6 +79,8 @@ def main(out_path=None):
     fig, ax = plt.subplots(figsize=(7.2, 4.6), dpi=150)
     for key, label, color, ls in SERIES:
         pts = load_points(key)
+        if not pts:
+            continue
         bpp = [p[0] for p in pts]
         psnr = [p[1] for p in pts]
         ax.plot(bpp, psnr, ls, color=color, marker="o", markersize=4,
@@ -83,10 +92,28 @@ def main(out_path=None):
             i = vis[-1]
             ax.annotate(label, (bpp[i], psnr[i]), textcoords="offset points",
                         xytext=(6, -10), fontsize=8, color="#444444")
+    # decoder-side restoration gain at unchanged bpp (results/
+    # postprocess_gain.json, VERDICT r3 item 6): an upward arrow at the
+    # matching flagship point
+    pp_path = os.path.join(ROOT, "results", "postprocess_gain.json")
+    if os.path.exists(pp_path):
+        pp = json.load(open(pp_path))
+        flag = json.load(open(os.path.join(ROOT, "results",
+                                           "rd_flagship.json")))
+        pt = flag["points"].get(f"{pp['lambda']:g}")
+        if pt and not pt.get("stale_eval_set"):
+            b0, p0 = pt["bpp"], pt["psnr"]
+            ax.annotate("", xy=(b0, p0 + pp["mean_gain_db"]), xytext=(b0, p0),
+                        arrowprops=dict(arrowstyle="->", color="#D55E00"))
+            ax.plot([b0], [p0 + pp["mean_gain_db"]], "^", color="#D55E00",
+                    markersize=5,
+                    label=f"+ {pp['net']} postprocess "
+                          f"({pp['mean_gain_db']:+.2f} dB)")
+
     ax.set_xlabel("bits per pixel")
     ax.set_ylabel("PSNR (dB)")
-    ax.set_title("Real-bitstream RD on the held-out eval set "
-                 "(synthetic corpus + grace_hopper)")
+    ax.set_title("Real-bitstream RD on the 24-image held-out eval set "
+                 "(19 dead-leaves seeds + 5 photos)")
     ax.set_xlim(0, 3.2)
     ax.grid(True, color="#e0e0e0", linewidth=0.6)
     ax.set_axisbelow(True)

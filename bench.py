@@ -94,7 +94,7 @@ def _stop_background_runs():
             return False
         return any(k in cmd for k in
                    ("supervisor", "rd_sweep", "probe_train_speed",
-                    "tpu_queue", "postprocess_gain"))
+                    "tpu_queue", "postprocess_gain", "headtohead"))
 
     # BENCH_KEEP_BG=1: interactive mid-session measurement with the queue
     # deliberately idle/paused — skip the cleanup (the unattended driver

@@ -115,3 +115,26 @@ def test_compress_decompress_many_matches_sequential():
         assert a.bpp == b.bpp
         assert [s.xe for s in a.streams] == [s.xe for s in b.streams]
         assert [s.xo for s in a.streams] == [s.xo for s in b.streams]
+
+
+def test_quincunx_integer_lifting_bitstream_roundtrip():
+    """VERDICT r3 item 7 (test half): the quincunx transform with integer
+    lifting (``lif_prec_bits>0`` eval-time rounding to the
+    ``255 * 2^(bits-8)`` grid, reference ``lifting_nets.py:196-203``) must
+    survive the REAL coding path — bit-exact subband recovery and a
+    decoder reconstruction identical to the encoder-side one."""
+    cfg = Config(netType="QuincunxLifting", entropy_layer="factorized",
+                 autoencoder="none", clrch=3, dwtlevels=2, lambda_=100.0,
+                 split_mode="hv", lif_prec_bits=8)
+    model = CodecWrapper(cfg)
+    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(0))
+    coder = CodecCoder(cfg, model, state.params)
+    img = synthetic_images(1, 32, seed=3)[0][None].astype(np.float32) / 255.0
+    _roundtrip_subbands(cfg, coder, img)
+    # full path twice: the decode must be deterministic byte-for-byte
+    r1 = coder.compress_decompress(img)
+    r2 = coder.compress_decompress(img)
+    np.testing.assert_array_equal(r1.xhat, r2.xhat)
+    assert [s.xe for s in r1.streams] == [s.xe for s in r2.streams]
+    assert r1.bpp > 0 and np.isfinite(r1.psnr)

@@ -194,6 +194,57 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
     return cfg
 
 
+def save_params_snapshot(preset: str, lam: float, agent, root: str) -> str:
+    """Durable (git-committed) f16 params snapshot for a completed lambda
+    point — VERDICT r4 item 8a: a mid-round VM wipe destroyed the
+    lam=2000/6000 checkpoints because ``experiments/`` is git-ignored;
+    ``results/`` is tracked, so snapshots there survive a reprovision.
+    Params only (~30 MB f16 for the 16.7M-param flagship): enough to
+    re-test after an eval-set change or to warm-start a resume (the
+    optimizer restarts). f16 rounding perturbs the operating point
+    negligibly, and the coder uses the SAME params for enc and dec, so
+    bitstreams stay decode-consistent."""
+    import jax
+
+    snap_dir = os.path.join(root, "results", "ckpt_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    arrs = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            agent.state.params)[0]:
+        a = np.asarray(jax.device_get(leaf))
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(np.float16)
+        arrs[jax.tree_util.keystr(path)] = a
+    arrs["__iteration__"] = np.asarray(int(agent.current_iteration))
+    out = os.path.join(snap_dir, f"{preset}_lam{lam:g}.npz")
+    tmp = out + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **arrs)
+    os.replace(tmp, out)
+    return out
+
+
+def load_params_snapshot(preset: str, lam: float, agent, root: str) -> int:
+    """Restore a snapshot into the agent's freshly initialized state.
+    Returns the snapshot's iteration count, or 0 if no snapshot exists."""
+    import jax
+    import jax.numpy as jnp
+
+    path = os.path.join(root, "results", "ckpt_snapshots",
+                        f"{preset}_lam{lam:g}.npz")
+    if not os.path.exists(path):
+        return 0
+    data = np.load(path)
+
+    def restore(kp, leaf):
+        return jnp.asarray(data[jax.tree_util.keystr(kp)], dtype=leaf.dtype)
+
+    params = jax.tree_util.tree_map_with_path(restore, agent.state.params)
+    agent.state = agent.state._replace(params=params)
+    agent.current_iteration = int(data["__iteration__"])
+    return agent.current_iteration
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=("cdf97", "flagship", "quincunx"),
@@ -277,11 +328,19 @@ def main():
         agent = LiftingDWTAgent(cfg)
         if args.retest_only:
             if agent.current_iteration == 0:
-                print(f"lambda={lam:g}: no checkpoint — skipping retest")
-                continue
+                # checkpoint gone (e.g. VM wipe of experiments/) — fall
+                # back to the durable git-tracked params snapshot
+                if load_params_snapshot(args.preset, lam, agent, root):
+                    print(f"lambda={lam:g}: restored from params snapshot "
+                          f"(it={agent.current_iteration})")
+                else:
+                    print(f"lambda={lam:g}: no checkpoint — skipping "
+                          f"retest")
+                    continue
         else:
             agent.run()                  # train (crash-saves on error)
             agent.save_checkpoint(is_best=True)
+            save_params_snapshot(args.preset, lam, agent, root)
         psnr, bpp = agent.test()         # REAL bitstream enc+dec
         results["points"][f"{lam:g}"] = {
             "bpp": bpp, "psnr": psnr,

@@ -18,9 +18,10 @@ from imagecompressionlearnedliftingandlearnedtreebasedmodels_tpu.train.state imp
     init_state)
 
 
-def _setup(entropy_layer, clrch=3, dwtlevels=2, size=32, **kw):
-    cfg = Config(netType="CDF97", entropy_layer=entropy_layer,
-                 autoencoder="SubbandAutoEncoder", clrch=clrch,
+def _setup(entropy_layer, clrch=3, dwtlevels=2, size=32,
+           netType="CDF97", autoencoder="SubbandAutoEncoder", **kw):
+    cfg = Config(netType=netType, entropy_layer=entropy_layer,
+                 autoencoder=autoencoder, clrch=clrch,
                  dwtlevels=dwtlevels, lambda_=100.0, **kw)
     model = CodecWrapper(cfg)
     state = init_state(cfg, model, jnp.zeros((1, size, size, 3)),
@@ -123,14 +124,9 @@ def test_quincunx_integer_lifting_bitstream_roundtrip():
     ``255 * 2^(bits-8)`` grid, reference ``lifting_nets.py:196-203``) must
     survive the REAL coding path — bit-exact subband recovery and a
     decoder reconstruction identical to the encoder-side one."""
-    cfg = Config(netType="QuincunxLifting", entropy_layer="factorized",
-                 autoencoder="none", clrch=3, dwtlevels=2, lambda_=100.0,
-                 split_mode="hv", lif_prec_bits=8)
-    model = CodecWrapper(cfg)
-    state = init_state(cfg, model, jnp.zeros((1, 32, 32, 3)),
-                       jax.random.PRNGKey(0))
-    coder = CodecCoder(cfg, model, state.params)
-    img = synthetic_images(1, 32, seed=3)[0][None].astype(np.float32) / 255.0
+    cfg, coder, img = _setup("factorized", netType="QuincunxLifting",
+                             autoencoder="none", split_mode="hv",
+                             lif_prec_bits=8)
     _roundtrip_subbands(cfg, coder, img)
     # full path twice: the decode must be deterministic byte-for-byte
     r1 = coder.compress_decompress(img)

@@ -306,6 +306,12 @@ def main():
     ap.add_argument("--eval-n", type=int, default=8,
                     help="held-out images per milestone eval")
     ap.add_argument("--final-eval-n", type=int, default=24)
+    ap.add_argument("--final-crop", type=int, default=0,
+                    help="center-crop for the FINAL eval (0 = full size). "
+                         "On this 1-core host every distinct image shape "
+                         "recompiles the CPU eval graph (>15 min for the "
+                         "big ztsep graph) — a single 256 crop keeps the "
+                         "final eval to one compile")
     args = ap.parse_args()
 
     import jax
@@ -399,7 +405,23 @@ def main():
         jside.opt_state = _jax.tree_util.tree_map(asarr, state["jax_opt"])
         print(f"[h2h] resumed from milestone checkpoint at step {t}",
               flush=True)
+    def _deadline_passed():
+        """Early-finalize gate: if /tmp/h2h_deadline (epoch seconds)
+        exists and has passed, stop training and run the final eval at the
+        step reached — both sides are at the SAME step, so the matched
+        comparison stands; ``final.step`` records where it stopped. Used
+        to guarantee a final block lands before the round's wall clock
+        runs out (VERDICT r4 item 4: the r4 h2h died with no final)."""
+        try:
+            return time.time() > float(open("/tmp/h2h_deadline").read())
+        except (OSError, ValueError):
+            return False
+
     while t < args.steps:
+        if t > 0 and _deadline_passed():
+            print(f"[h2h] wall-clock deadline: finalizing early at step "
+                  f"{t}", flush=True)
+            break
         t1 = min(t + args.eval_every, args.steps)
         tic = time.time()
         tl, tm = tside.train_steps(stream, t, t1)
@@ -428,12 +450,13 @@ def main():
               f"jax ({jb:.4f} bpp, {jp:.2f} dB) "
               f"d=({jb - tb:+.4f}, {jp - tp:+.3f})", flush=True)
 
-    final_imgs = eval_images(eval_dir, args.final_eval_n, crop=0)
+    final_imgs = eval_images(eval_dir, args.final_eval_n,
+                             crop=args.final_crop)
     tb, tp = tside.evaluate(final_imgs)
     beat()
     jb, jp = jside.evaluate(final_imgs)
     entry["final"] = dict(
-        eval_images=len(final_imgs), step=args.steps,
+        eval_images=len(final_imgs), eval_crop=args.final_crop, step=t,
         torch=dict(bpp=round(tb, 5), psnr=round(tp, 3)),
         jax=dict(bpp=round(jb, 5), psnr=round(jp, 3)),
         d_bpp=round(jb - tb, 5), d_psnr=round(jp - tp, 3),

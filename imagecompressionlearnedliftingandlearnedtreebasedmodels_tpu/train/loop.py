@@ -329,13 +329,21 @@ class LiftingDWTAgent:
                 return tiled_cache[n].compress_decompress(img)
             return coder.compress_decompress(img)
 
+        from ..utils.heartbeat import HeartbeatLease
+
         psnrs, bpps = [], []
-        for batch in self.data.test_batches():
-            res = run_one(np.asarray(batch))
-            self.heartbeat.beat()
-            psnrs.append(res.psnr)
-            bpps.append(res.bpp)
-            self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)
+        # lease: a single image's round trip can exceed the supervisor
+        # timeout while it pays fresh coding-graph compiles (test progress
+        # is not checkpointable, so a mid-test kill restarts the WHOLE
+        # test — livelock); the lease is bounded, so a wedged readback
+        # still goes stale eventually
+        with HeartbeatLease(self.heartbeat):
+            for batch in self.data.test_batches():
+                res = run_one(np.asarray(batch))
+                self.heartbeat.beat()
+                psnrs.append(res.psnr)
+                bpps.append(res.bpp)
+                self.test_logger(0.0, 10 ** (-res.psnr / 10), res.bpp, 0.0)
         # per-image operating points, for spread reporting (BD-rate inputs
         # on small eval sets are fragile — the spread is part of the result)
         self.last_test_per_image = [

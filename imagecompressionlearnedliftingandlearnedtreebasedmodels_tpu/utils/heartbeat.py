@@ -64,6 +64,49 @@ class Heartbeat:
         os.replace(tmp, self.path)  # atomic: watcher never sees a torn file
 
 
+class HeartbeatLease:
+    """Bounded background beater for long NON-resumable phases.
+
+    The per-step beat protocol assumes progress is checkpointed between
+    beats; the real-bitstream test phase is not — one image's round trip
+    can legitimately exceed the supervisor timeout when it pays fresh
+    coding-graph compiles on a contended 1-core host (observed round 5:
+    the lam=2000 test was killed at 902 s and would have been re-killed on
+    every restart). The lease beats every ``interval`` from a daemon
+    thread while the phase runs, but stops itself after ``max_s`` — so a
+    genuinely wedged phase (dropped tunnel inside a readback) still goes
+    stale and gets restarted, just on a coarser clock.
+    """
+
+    def __init__(self, hb: "Heartbeat", interval: float = 60.0,
+                 max_s: float = 2400.0):
+        self._hb = hb
+        self._interval = interval
+        self._max_s = max_s
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+        stop = self._stop
+
+        def _run():
+            t0 = time.time()
+            while not stop.is_set() and (time.time() - t0) < self._max_s:
+                self._hb.beat(force=True)
+                stop.wait(self._interval)
+
+        if self._hb.path:
+            threading.Thread(target=_run, daemon=True).start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._stop is not None:
+            self._stop.set()
+        return False
+
+
 def age_seconds(path: str) -> Optional[float]:
     """Seconds since the last beat, or None if the file does not exist."""
     try:

@@ -61,6 +61,13 @@ def cross_bd_rates():
     flag = json.load(open(flag_path))
     fl = load_points("rd_flagship")
     out = {}
+    # The reference's published Kodak curve stops at 1.982 bpp
+    # (plot_sketcher.py:4-5); our lambda=6000 point sits at ~4.2 bpp where
+    # the 16.7M model saturates and classical codecs keep climbing, which
+    # drags full-span BD-rate. Report BOTH: full measured span and the
+    # reference's rate range (points <= 2.1 bpp) for the like-for-like
+    # comparison.
+    fl_ref_range = [p for p in fl if p[0] <= 2.1]
     for anchor_key, name in (("jpeg_anchor", "bd_rate_vs_jpeg_pct"),
                              ("jpeg2000_anchor", "bd_rate_vs_jpeg2000_pct"),
                              ("rd_cdf97", "bd_rate_vs_cdf97_pct")):
@@ -69,6 +76,12 @@ def cross_bd_rates():
             out[name] = bd_rate([p[0] for p in an], [p[1] for p in an],
                                 [p[0] for p in fl], [p[1] for p in fl])
             print(f"flagship {name}: {out[name]:.1f}%")
+        if len(an) >= 3 and len(fl_ref_range) >= 3:
+            key2 = name.replace("_pct", "_le2bpp_pct")
+            out[key2] = bd_rate([p[0] for p in an], [p[1] for p in an],
+                                [p[0] for p in fl_ref_range],
+                                [p[1] for p in fl_ref_range])
+            print(f"flagship {key2}: {out[key2]:.1f}%")
     flag.update(out)
     json.dump(flag, open(flag_path, "w"), indent=1)
     return out

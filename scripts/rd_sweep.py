@@ -180,9 +180,14 @@ def make_cfg(preset: str, lam: float, steps: int, train_dir: str,
     elif preset == "quincunx":
         # integer-lifting operating point (VERDICT r3 item 7): quincunx
         # split + lif_prec_bits>0 eval-time rounding grid (reference
-        # ``lifting_nets.py:196-203``) through the REAL bitstream
+        # ``lifting_nets.py:196-203``) through the REAL bitstream.
+        # SubbandAutoEncoder scaling is required for a meaningful RD
+        # point: without it the unscaled detail subbands (std ~0.01-0.05
+        # in [-0.5,0.5] input range) are annihilated by the unit
+        # quantization bin — the round-5 'none' run converged to 15.6 dB
+        # @ 0.69 bpp, i.e. quantized-to-zero details.
         cfg = Config(netType="QuincunxLifting", entropy_layer="factorized",
-                     autoencoder="none", clrch=3, dwtlevels=3,
+                     autoencoder="SubbandAutoEncoder", clrch=3, dwtlevels=3,
                      split_mode="hv", lif_prec_bits=8, **common)
     else:
         raise ValueError(preset)

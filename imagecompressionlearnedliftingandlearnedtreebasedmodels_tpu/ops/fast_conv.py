@@ -282,15 +282,23 @@ class FastConv3x3(nn.Module):
     names/shapes identical to ``nn.Conv`` (kernel (3,3,Cin,Cout), bias
     (Cout,)), so checkpoints and the weight importer are layout-compatible.
 
-    Compute path: on the TPU backend, wide-channel layers go through the
-    fused-halo Pallas kernel (``ops/pallas_conv.py`` — input crosses HBM
-    once instead of 9x); everything else (CPU tests, narrow channels,
-    ragged widths) uses the transposed-im2col matmul. Both paths are
-    value-equivalent to ``nn.Conv``; ``use_pallas=False`` pins im2colT
-    (e.g. for A/B timing). The Pallas path is a single-device kernel —
-    fine under ``shard_map`` (per-device programs) and single-chip jit;
-    a future multi-chip GSPMD eval path would need a sharding rule or
-    ``use_pallas=False``."""
+    Compute path (re-measured 2026-08-21, `scripts/bench_ae_parts.py` +
+    `/tmp/bench_plc_shape.py` numbers in the dev notes): on the current
+    TPU backend the PLAIN lax NHWC conv beats both the transposed-im2col
+    matmul and the fused-halo Pallas kernel at every flagship eval shape
+    that matters — (8,256,384,192)->96: lax 7.3 ms vs pallas 9.5 vs
+    im2colT 15.6; (8,256,384,243)->243: lax 14.0 vs pallas 14.6 vs
+    im2colT 40.8; (8,128,192,243)->243: lax 3.0 vs im2colT 8.5. (The
+    rounds-2/3 "standard lowering is 6x slower" measurement that
+    motivated im2colT/Pallas predates several backend updates and no
+    longer reproduces.) Tiny-plane thin convs (HW < 64k and a <32-wide
+    end) stay on im2colT, which still wins there ((8,128,192,96)->3:
+    0.25 ms vs 0.80). CPU (tests) keeps im2colT. ``pallas_disabled()``
+    (the coding path's pinned-arithmetic context) and ``use_pallas=False``
+    both force im2colT — streams are encoded against that exact
+    accumulation order. All paths are value-equivalent to ``nn.Conv``.
+    The Pallas kernel (``ops/pallas_conv.py``) is kept for A/B timing on
+    future backends via `scripts/bench_pallas_conv.py`."""
 
     features: int
     dtype: object = jnp.bfloat16
@@ -304,12 +312,14 @@ class FastConv3x3(nn.Module):
                             (3, 3, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        hw = x.shape[1] * x.shape[2]
         if (self.use_pallas
                 and not pallas_disabled()
                 and jax.default_backend() in ("tpu", "axon")
-                and pallas_conv.supported(
-                    x.shape, cin, self.features,
-                    2 if self.dtype == jnp.bfloat16 else 4)):
-            y = pallas_conv.conv3x3_halo(x, kernel, self.dtype)
+                and (hw >= 65536 or min(cin, self.features) >= 32)):
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ).astype(jnp.float32)
             return y + bias if bias is not None else y
         return conv3x3_im2colT(x, kernel, bias, self.dtype)

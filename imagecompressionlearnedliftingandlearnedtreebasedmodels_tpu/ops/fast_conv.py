@@ -268,6 +268,14 @@ class FastConv5x5(nn.Module):
                             (5, 5, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        # NOTE: isolated microbenches (2026-08-21) show plain lax beating
+        # s2d for the wide ladder convs (48->48 at 512x384: 8.1 vs 10.2
+        # ms) — but switching FastConv5x5 to lax in-model DROPPED the
+        # flagship surrogate from 9.1 to ~5 MP/s (bisected): the s2d form
+        # keeps the whole lifting ladder in the space-to-depth layout, and
+        # XLA cancels the s2d/d2s pairs between adjacent P/U convs; a lax
+        # conv in the middle forces layout round trips that cost far more
+        # than the per-conv win. Keep s2d for even dims.
         if x.shape[1] % 2 or x.shape[2] % 2:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),

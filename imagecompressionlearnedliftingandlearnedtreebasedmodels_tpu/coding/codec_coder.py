@@ -625,12 +625,20 @@ class CodecCoder:
                                  ) -> List[CodecResult]:
         """Image-parallel coding harness (VERDICT r3 item 3): pipeline N
         single-image round trips so one image's host-CPU coding work (rANS,
-        native context walks) overlaps another's accelerator dispatches —
-        on the tunneled backend the per-dispatch RTT otherwise serializes
-        with host work. The first image runs alone to build the jit/native
-        caches; the rest run under a thread pool. Results keep input order;
-        streams are identical to sequential coding (each image's round trip
-        is self-contained)."""
+        native context walks) overlaps another's accelerator dispatches.
+        The first image runs alone to build the jit/native caches; the
+        rest run under a thread pool. Results keep input order; streams
+        are identical to sequential coding (each image's round trip is
+        self-contained).
+
+        CAVEAT (measured 2026-08-21): on a 1-core host behind the
+        tunneled single-stream backend, ``workers>1`` is COUNTER-
+        productive — ``compress_decompress`` already threads its three
+        plane round trips internally, and stacking image-level workers on
+        top yields six concurrent dispatch chains whose RTTs multiply
+        (25 s/img pipelined vs 5.4 s/img sequential). Use ``workers=1``
+        there; ``workers>1`` is for hosts with local dispatch and spare
+        cores."""
         if not images:
             return []
         first = self.compress_decompress(images[0])
